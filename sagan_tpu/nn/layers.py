@@ -1,0 +1,257 @@
+"""Core layers: Dense / Conv / ConvTranspose / Embedding with optional
+fused spectral normalization, plus cross-replica (Batch|ConditionalBatch)Norm.
+
+Replaces the reference's Keras layers + ``SpectralNormalization`` wrapper
+(``/root/reference/layers.py:7-68``, ``/root/reference/sagan/layers.py``).
+Rather than wrapping layer objects, spectral norm is a constructor flag
+(``sn=True``): the layer owns the power-iteration vector ``u`` in its aux
+state and normalizes its kernel inline — one less indirection, and XLA
+fuses the ``w/sigma`` scale into the conv/matmul weight path.
+
+Layout & precision conventions (TPU-first):
+* activations NHWC, conv kernels HWIO — XLA TPU's preferred conv layout;
+* parameters and norm statistics are fp32; matmuls/convs run in the
+  layer's ``dtype`` (bf16 by default in models) with fp32 MXU accumulation
+  via ``preferred_element_type``;
+* BatchNorm moments are computed in fp32 and, when ``cx.axis`` names a
+  mesh axis, reduced with ``lax.pmean`` across replicas — closing the
+  per-replica-statistics gap of the reference (SURVEY.md §2.2, last row).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import initializers as init
+from .module import Ctx, Module
+
+
+def _maybe_sn(cx: Ctx, layer, w):
+    """Apply spectral normalization to a kernel if the layer asked for it."""
+    if not layer.sn:
+        return w
+    from ..ops.spectral import spectral_normalize
+
+    u = cx.get_aux("u")
+    w_bar, u_new = spectral_normalize(w, u, n_iter=layer.sn_iters)
+    if cx.train:
+        cx.put_aux("u", u_new)
+    return w_bar
+
+
+class Dense(Module):
+    """y = x @ W (+ b), optionally spectrally normalized.
+
+    Reference: ``SpectralNormalization(layers.Dense(...))`` at
+    /root/reference/sagan/models/generator.py:25.
+    """
+
+    def __init__(self, cin, cout, use_bias=True, sn=False, sn_iters=1,
+                 w_init=init.glorot_uniform, dtype=jnp.float32):
+        super().__init__()
+        self.cin, self.cout = cin, cout
+        self.use_bias, self.sn, self.sn_iters = use_bias, sn, sn_iters
+        self.dtype = dtype
+        self.param_spec("w", (cin, cout), w_init)
+        if use_bias:
+            self.param_spec("b", (cout,), init.zeros)
+        if sn:
+            self.aux_spec("u", (cout,), init.l2_normal)
+
+    def forward(self, cx: Ctx, x):
+        w = _maybe_sn(cx, self, cx.param("w"))
+        y = jnp.dot(x.astype(self.dtype), w.astype(self.dtype),
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST)
+        if self.use_bias:
+            y = y + cx.param("b")
+        return y.astype(self.dtype)
+
+
+class Conv(Module):
+    """NHWC conv, 'SAME' padding, optional SN.
+
+    Reference: SN-wrapped ``layers.Conv2D`` blocks at
+    /root/reference/sagan/models/discriminator.py:8-11.
+    """
+
+    def __init__(self, cin, cout, kernel=3, stride=1, use_bias=True,
+                 sn=False, sn_iters=1, w_init=init.glorot_uniform,
+                 dtype=jnp.float32, padding="SAME"):
+        super().__init__()
+        self.cin, self.cout = cin, cout
+        self.kernel, self.stride, self.padding = kernel, stride, padding
+        self.use_bias, self.sn, self.sn_iters = use_bias, sn, sn_iters
+        self.dtype = dtype
+        self.param_spec("w", (kernel, kernel, cin, cout), w_init)
+        if use_bias:
+            self.param_spec("b", (cout,), init.zeros)
+        if sn:
+            self.aux_spec("u", (cout,), init.l2_normal)
+
+    def forward(self, cx: Ctx, x):
+        w = _maybe_sn(cx, self, cx.param("w"))
+        y = lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+        if self.use_bias:
+            y = y + cx.param("b")
+        return y.astype(self.dtype)
+
+
+class ConvTranspose(Module):
+    """NHWC transposed conv ('SAME', stride s → s× upsampling), optional SN.
+
+    Reference: SN-wrapped ``layers.Conv2DTranspose(out, 4, 2)`` generator
+    blocks at /root/reference/sagan/models/generator.py:8-9.
+    """
+
+    def __init__(self, cin, cout, kernel=4, stride=2, use_bias=True,
+                 sn=False, sn_iters=1, w_init=init.glorot_uniform,
+                 dtype=jnp.float32):
+        super().__init__()
+        self.cin, self.cout = cin, cout
+        self.kernel, self.stride = kernel, stride
+        self.use_bias, self.sn, self.sn_iters = use_bias, sn, sn_iters
+        self.dtype = dtype
+        self.param_spec("w", (kernel, kernel, cin, cout), w_init)
+        if use_bias:
+            self.param_spec("b", (cout,), init.zeros)
+        if sn:
+            self.aux_spec("u", (cout,), init.l2_normal)
+
+    def forward(self, cx: Ctx, x):
+        w = _maybe_sn(cx, self, cx.param("w"))
+        y = lax.conv_transpose(
+            x.astype(self.dtype), w.astype(self.dtype),
+            strides=(self.stride, self.stride),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+        if self.use_bias:
+            y = y + cx.param("b")
+        return y.astype(self.dtype)
+
+
+class Embedding(Module):
+    """Integer → vector lookup (projection-discriminator class embedding,
+    /root/reference/sagan/models/discriminator.py:31)."""
+
+    def __init__(self, num_embeddings, dim, sn=False, sn_iters=1,
+                 w_init=init.uniform(0.05), dtype=jnp.float32):
+        super().__init__()
+        self.num_embeddings, self.dim = num_embeddings, dim
+        self.sn, self.sn_iters = sn, sn_iters
+        self.dtype = dtype
+        self.param_spec("w", (num_embeddings, dim), w_init)
+        if sn:
+            self.aux_spec("u", (dim,), init.l2_normal)
+
+    def forward(self, cx: Ctx, ids):
+        w = _maybe_sn(cx, self, cx.param("w"))
+        return jnp.take(w, ids, axis=0).astype(self.dtype)
+
+
+def _batch_moments(x, axis_name):
+    """fp32 batch+spatial moments; pmean'd over the data mesh axis when
+    present (cross-replica BN — reference lacks this, SURVEY.md §2.2)."""
+    x32 = x.astype(jnp.float32)
+    reduce_axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(x32, axis=reduce_axes)
+    mean_sq = jnp.mean(jnp.square(x32), axis=reduce_axes)
+    if axis_name is not None:
+        mean = lax.pmean(mean, axis_name)
+        mean_sq = lax.pmean(mean_sq, axis_name)
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    return mean, var
+
+
+class BatchNorm(Module):
+    """Batch normalization with cross-replica statistics.
+
+    Matches Keras defaults used by the reference
+    (``layers.BatchNormalization()`` at
+    /root/reference/sagan/models/generator.py:10): momentum 0.99,
+    eps 1e-3, per-channel affine.  Unlike the reference, train-time
+    moments are ``lax.pmean``-reduced across the data axis so replicas
+    normalize identically.
+    """
+
+    def __init__(self, c, momentum=0.99, eps=1e-3, dtype=jnp.float32):
+        super().__init__()
+        self.c, self.momentum, self.eps, self.dtype = c, momentum, eps, dtype
+        self.param_spec("gamma", (c,), init.ones)
+        self.param_spec("beta", (c,), init.zeros)
+        self.aux_spec("mean", (c,), init.zeros)
+        self.aux_spec("var", (c,), init.ones)
+
+    def forward(self, cx: Ctx, x):
+        gamma = cx.param("gamma")
+        beta = cx.param("beta")
+        return _bn_core(cx, self, x, gamma, beta)
+
+
+class ConditionalBatchNorm(Module):
+    """Class-conditional BN: per-class gamma/beta via embedding tables
+    (the BigGAN/SAGAN conditional-generator norm; extension beyond the
+    reference for the conditional ImageNet configs in BASELINE.json)."""
+
+    def __init__(self, c, num_classes, momentum=0.99, eps=1e-3,
+                 dtype=jnp.float32):
+        super().__init__()
+        self.c, self.momentum, self.eps, self.dtype = c, momentum, eps, dtype
+        self.param_spec("gamma", (num_classes, c), init.ones)
+        self.param_spec("beta", (num_classes, c), init.zeros)
+        self.aux_spec("mean", (c,), init.zeros)
+        self.aux_spec("var", (c,), init.ones)
+
+    def forward(self, cx: Ctx, x, labels):
+        gamma = jnp.take(cx.param("gamma"), labels, axis=0)[:, None, None, :]
+        beta = jnp.take(cx.param("beta"), labels, axis=0)[:, None, None, :]
+        return _bn_core(cx, self, x, gamma, beta)
+
+
+def _bn_core(cx: Ctx, layer, x, gamma, beta):
+    if cx.train:
+        mean, var = _batch_moments(x, cx.axis)
+        m = layer.momentum
+        cx.put_aux("mean", m * cx.get_aux("mean") + (1.0 - m) * mean)
+        cx.put_aux("var", m * cx.get_aux("var") + (1.0 - m) * var)
+    else:
+        mean, var = cx.get_aux("mean"), cx.get_aux("var")
+    inv = lax.rsqrt(var + layer.eps)
+    y = (x.astype(jnp.float32) - mean) * inv * gamma + beta
+    return y.astype(layer.dtype)
+
+
+def leaky_relu(x, alpha=0.1):
+    """LeakyReLU(0.1) as used throughout the reference models
+    (/root/reference/sagan/models/generator.py:11)."""
+    return jax.nn.leaky_relu(x, negative_slope=alpha)
+
+
+def max_pool(x, window=2, stride=2):
+    """Stride-2 2×2 max pool — the K/V 4× downsample the reference's
+    attention *intended* (/root/reference/layers.py:96 comment) but broke
+    with ``MaxPool2D(2, 1)`` (SURVEY.md Appendix A.2)."""
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding="VALID",
+    )
+
+
+def global_sum_pool(x):
+    """Spatial sum pool [B,H,W,C] → [B,C]
+    (/root/reference/sagan/models/discriminator.py:27)."""
+    return jnp.sum(x.astype(jnp.float32), axis=(1, 2))

@@ -1,0 +1,116 @@
+"""Model shape/behavior tests — supersedes the reference's two smoke tests
+(/root/reference/test/test_{generator,discriminator}.py) which needed a
+real dataset on disk; ours are hermetic and cover both families,
+conditional + unconditional, 64 and 128 px."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sagan_tpu.models import get_discriminator, get_generator
+
+KEY = jax.random.PRNGKey(0)
+
+
+def make_config(**kw):
+    cfg = {
+        "model": "vanilla",
+        "z_dim": 16,
+        "gf_dim": 8,
+        "df_dim": 8,
+        "img_size": 32,
+        "use_attention": True,
+        "attn_dim_G": [16],
+        "attn_dim_D": [8],
+        "use_label": False,
+        "num_classes": 5,
+        "compute_dtype": "float32",
+    }
+    cfg.update(kw)
+    return cfg
+
+
+@pytest.mark.parametrize("model", ["vanilla", "resnet"])
+@pytest.mark.parametrize("use_label", [False, True])
+def test_generator_output_shape_and_range(model, use_label):
+    cfg = make_config(model=model, use_label=use_label)
+    gen = get_generator(cfg)
+    v = gen.init(KEY)
+    z = jax.random.normal(KEY, (2, 16))
+    labels = jnp.array([1, 3])
+    img, aux = gen(v, z, labels, train=True)
+    assert img.shape == (2, 32, 32, 3)
+    assert float(jnp.max(jnp.abs(img))) <= 1.0
+    assert np.all(np.isfinite(np.asarray(img)))
+
+
+@pytest.mark.parametrize("model", ["vanilla", "resnet"])
+@pytest.mark.parametrize("use_label", [False, True])
+def test_discriminator_output_shape(model, use_label):
+    cfg = make_config(model=model, use_label=use_label)
+    disc = get_discriminator(cfg)
+    v = disc.init(KEY)
+    img = jax.random.normal(KEY, (2, 32, 32, 3))
+    labels = jnp.array([0, 4])
+    out, _ = disc(v, img, labels, train=True)
+    if use_label:
+        assert out.shape == (2, 1)
+    else:
+        assert out.shape == (2, 4, 4, 1)  # PatchGAN map at 4x4
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_generator_128px_resnet_channel_schedule():
+    """Legacy ImageNet-128 config: 5 stages, gf multipliers 16,8,4,2,1
+    (/root/reference/models/generator.py:32-37)."""
+    cfg = make_config(model="resnet", img_size=128, gf_dim=4,
+                      attn_dim_G=[32], use_label=True)
+    gen = get_generator(cfg)
+    v = gen.init(KEY)
+    z = jax.random.normal(KEY, (1, 16))
+    img, _ = gen(v, z, jnp.array([0]), train=False)
+    assert img.shape == (1, 128, 128, 3)
+    # attention inserted at the 32x32 stage
+    assert any("attn32" in k for k in v["params"])
+
+
+def test_vanilla_attention_uses_attn_dim_D_for_discriminator():
+    """Regression guard for reference bug A.5 (attn_dim_G misused in D)."""
+    cfg = make_config(attn_dim_G=[16], attn_dim_D=[4])
+    disc = get_discriminator(cfg)
+    v = disc.init(KEY)
+    assert any("attn4" in k for k in v["params"])
+    assert not any("attn16" in k for k in v["params"])
+
+
+def test_conditional_bn_generator():
+    cfg = make_config(use_label=True, use_cond_bn=True)
+    gen = get_generator(cfg)
+    v = gen.init(KEY)
+    z = jax.random.normal(KEY, (4, 16))
+    img0, _ = gen(v, z, jnp.zeros(4, jnp.int32), train=False)
+    img1, _ = gen(v, z, jnp.ones(4, jnp.int32), train=False)
+    assert not np.allclose(np.asarray(img0), np.asarray(img1))
+
+
+def test_generator_eval_deterministic():
+    cfg = make_config()
+    gen = get_generator(cfg)
+    v = gen.init(KEY)
+    z = jax.random.normal(KEY, (2, 16))
+    a, _ = gen(v, z, None, train=False)
+    b, _ = gen(v, z, None, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_bfloat16_compute_path():
+    cfg = make_config(compute_dtype="bfloat16")
+    gen = get_generator(cfg)
+    v = gen.init(KEY)
+    z = jax.random.normal(KEY, (2, 16))
+    img, _ = gen(v, z, None, train=True)
+    assert img.dtype == jnp.bfloat16
+    # params stay fp32 master copies
+    leaves = jax.tree.leaves(v["params"])
+    assert all(l.dtype == jnp.float32 for l in leaves)
