@@ -1,0 +1,178 @@
+"""Host-side data pipeline: TFRecord streaming → shuffle → batch → prefetch.
+
+Replaces the reference's ``tf.data`` graph (/root/reference/sagan/
+dataset.py:12-40: glob ``*.tfrecords`` → parse → scale → ``.take(data_size)
+.shuffle(30000).map(...).batch(global, drop_remainder=True)``) with an
+explicitly TPU-oriented design:
+
+* batches leave the host as **uint8** — normalization to [-1, 1] happens
+  on device inside the jitted train step, quartering host→HBM transfer
+  bytes vs. shipping float32;
+* reservoir-style shuffle buffer (default 30000 records, matching
+  BUFFER_SIZE at sagan/dataset.py:10), reseeded per epoch;
+* multi-host sharding by record index stride (process_index/process_count)
+  — the per-host analog of MirroredStrategy's dataset distribution;
+* a daemon-thread prefetcher keeps ``prefetch_depth`` batches ready so
+  host IO overlaps device compute;
+* decode fast path through the native C++ record reader when built
+  (sagan_tpu/data/native), pure-Python codec otherwise.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+
+from .tfrecord import load_metadata, parse_image_example, read_records
+
+SHUFFLE_BUFFER = 30000  # /root/reference/sagan/dataset.py:10
+
+
+def _find_files(data_path: str) -> list[str]:
+    files = sorted(glob.glob(os.path.join(data_path, "*.tfrecords")))
+    if not files:
+        raise FileNotFoundError(f"no *.tfrecords under {data_path}")
+    return files
+
+
+class ImageDataset:
+    """Epoch-oriented iterator of (uint8 images [B,S,S,3], int32 labels [B]).
+
+    ``batch_size`` is the *per-host* batch (the global batch divided by
+    process count); sharding over devices within a host happens at
+    device-put time in the trainer.
+    """
+
+    def __init__(self, data_path: str, batch_size: int,
+                 data_size: int = -1, shuffle_buffer: int = SHUFFLE_BUFFER,
+                 seed: int = 0, process_index: int = 0,
+                 process_count: int = 1, prefetch_depth: int = 2):
+        self.files = _find_files(data_path)
+        self.meta = load_metadata(data_path)
+        self.img_size = int(self.meta["img_size"])
+        self.num_classes = int(self.meta["num_classes"])
+        self.num_records = int(self.meta["num_records"])
+        self.batch_size = batch_size
+        self.data_size = data_size
+        self.shuffle_buffer = shuffle_buffer
+        self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
+        self.prefetch_depth = prefetch_depth
+
+        total = self.num_records if data_size in (-1, None) \
+            else min(data_size, self.num_records)
+        per_host = total // process_count
+        self.steps_per_epoch = per_host // batch_size
+
+    # -- record stream -----------------------------------------------------
+    def _records(self) -> Iterator[bytes]:
+        idx = 0
+        limit = self.data_size if self.data_size not in (-1, None) else None
+        for path in self.files:
+            for rec in self._file_records(path):
+                if limit is not None and idx >= limit:
+                    return
+                if idx % self.process_count == self.process_index:
+                    yield rec
+                idx += 1
+
+    def _file_records(self, path: str) -> Iterator[bytes]:
+        try:
+            from .native import native_read_records
+            yield from native_read_records(path)
+        except ImportError:
+            yield from read_records(path)
+
+    def _shuffled(self, rng: np.random.Generator) -> Iterator[bytes]:
+        buf: list[bytes] = []
+        for rec in self._records():
+            if len(buf) < self.shuffle_buffer:
+                buf.append(rec)
+                continue
+            j = int(rng.integers(len(buf)))
+            buf[j], rec = rec, buf[j]
+            yield rec
+        rng.shuffle(buf)  # type: ignore[arg-type]
+        yield from buf
+
+    # -- batches -----------------------------------------------------------
+    def epoch(self, epoch_index: int = 0) -> Iterator[tuple]:
+        """One pass over the (sharded) data, dropping the remainder
+        (drop_remainder=True semantics, sagan/dataset.py:36)."""
+        rng = np.random.default_rng((self.seed, epoch_index))
+
+        def gen():
+            imgs = np.empty((self.batch_size, self.img_size, self.img_size, 3),
+                            np.uint8)
+            labels = np.empty((self.batch_size,), np.int32)
+            fill = 0
+            for rec in self._shuffled(rng):
+                img, label = parse_image_example(rec, self.img_size)
+                imgs[fill] = img
+                labels[fill] = label
+                fill += 1
+                if fill == self.batch_size:
+                    yield imgs.copy(), labels.copy()
+                    fill = 0
+
+        return _prefetch(gen(), self.prefetch_depth)
+
+    def __iter__(self):
+        return self.epoch(0)
+
+
+def _prefetch(it: Iterator, depth: int) -> Iterator:
+    """Run ``it`` in a daemon thread, keeping ``depth`` items ready."""
+    if depth <= 0:
+        yield from it
+        return
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item
+
+
+def get_dataset_and_info(config: dict):
+    """Reference-compatible entry point
+    (/root/reference/sagan/dataset.py:131-143): loads metadata, merges
+    ``{img_size, num_classes, num_records}`` into the config, and returns
+    (dataset, config)."""
+    data_path = config["data_path"]
+    meta = load_metadata(data_path)
+    config = dict(config)
+    config.update(meta)
+
+    global_batch = config.get("global_batch_size", config["batch_size"])
+    process_count = config.get("process_count", 1)
+    process_index = config.get("process_index", 0)
+    per_host = global_batch // process_count
+
+    ds = ImageDataset(
+        data_path,
+        batch_size=per_host,
+        data_size=config.get("data_size", -1),
+        shuffle_buffer=config.get("shuffle_buffer", SHUFFLE_BUFFER),
+        seed=config.get("data_seed", 0),
+        process_index=process_index,
+        process_count=process_count,
+    )
+    return ds, config

@@ -1,0 +1,163 @@
+"""Data pipeline tests: codec roundtrip, TF interop (on-disk contract),
+loader semantics (shuffle, sharding, drop-remainder, data_size)."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from sagan_tpu.data.loader import ImageDataset, get_dataset_and_info
+from sagan_tpu.data.synthetic import make_synthetic_dataset
+from sagan_tpu.data.tfrecord import (TFRecordWriter, _crc32c_py, crc32c,
+                                     decode_example, encode_example,
+                                     load_metadata, masked_crc32c,
+                                     parse_image_example, read_records,
+                                     write_image_dataset)
+
+
+def test_crc32c_known_vectors():
+    # RFC 3720 test vector: 32 bytes of zeros -> 0x8a9136aa
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert crc32c(b"123456789") == 0xE3069283
+    assert _crc32c_py(b"\x00" * 32) == 0x8A9136AA
+    assert _crc32c_py(b"123456789") == 0xE3069283
+
+
+def test_example_codec_roundtrip():
+    feats = {
+        "image_raw": bytes(range(256)) * 3,
+        "label": [7],
+        "floats": [1.5, -2.25],
+    }
+    ex = decode_example(encode_example(feats))
+    assert ex["image_raw"] == feats["image_raw"]
+    assert ex["label"] == [7]
+    assert ex["floats"] == [1.5, -2.25]
+
+
+def test_example_codec_negative_int64():
+    ex = decode_example(encode_example({"label": [-3]}))
+    assert ex["label"] == [-3]
+
+
+def test_record_file_roundtrip(tmp_path):
+    path = str(tmp_path / "x.tfrecords")
+    payloads = [b"alpha", b"b" * 5000, b""]
+    with TFRecordWriter(path) as w:
+        for p in payloads:
+            w.write(p)
+    assert list(read_records(path, verify=True)) == payloads
+
+
+def test_image_dataset_contract(tmp_path):
+    d = str(tmp_path / "ds")
+    imgs = [np.full((8, 8, 3), i, np.uint8) for i in range(10)]
+    labels = list(range(10))
+    n = write_image_dataset(d, imgs, labels, img_size=8, num_classes=10)
+    assert n == 10
+    meta = load_metadata(d)
+    assert meta == {"img_size": 8, "num_classes": 10, "num_records": 10}
+    recs = list(read_records(os.path.join(d, "data.tfrecords")))
+    img, label = parse_image_example(recs[3], 8)
+    assert label == 3
+    assert np.all(img == 3)
+
+
+def test_tensorflow_reads_our_records(tmp_path):
+    """On-disk contract oracle: TensorFlow's own parser must read files we
+    write, exactly as the reference's input pipeline would
+    (/root/reference/sagan/dataset.py:19-36)."""
+    tf = pytest.importorskip("tensorflow")
+    d = str(tmp_path / "ds")
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 255, (8, 8, 3), dtype=np.uint8) for _ in range(4)]
+    write_image_dataset(d, imgs, [0, 1, 2, 3], img_size=8, num_classes=4)
+
+    ds = tf.data.TFRecordDataset(os.path.join(d, "data.tfrecords"))
+    feature_desc = {
+        "label": tf.io.FixedLenFeature([], tf.int64),
+        "image_raw": tf.io.FixedLenFeature([], tf.string),
+    }
+    out = []
+    for raw in ds:
+        ex = tf.io.parse_single_example(raw, feature_desc)
+        img = tf.reshape(tf.io.decode_raw(ex["image_raw"], tf.uint8),
+                         [8, 8, 3])
+        out.append((img.numpy(), int(ex["label"].numpy())))
+    assert len(out) == 4
+    for i, (img, label) in enumerate(out):
+        assert label == i
+        np.testing.assert_array_equal(img, imgs[i])
+
+
+def test_we_read_tensorflow_records(tmp_path):
+    tf = pytest.importorskip("tensorflow")
+    path = str(tmp_path / "tf.tfrecords")
+    img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    with tf.io.TFRecordWriter(path) as w:
+        ex = tf.train.Example(features=tf.train.Features(feature={
+            "image_raw": tf.train.Feature(
+                bytes_list=tf.train.BytesList(value=[img.tobytes()])),
+            "label": tf.train.Feature(
+                int64_list=tf.train.Int64List(value=[5])),
+        }))
+        w.write(ex.SerializeToString())
+    recs = list(read_records(path, verify=True))
+    got_img, got_label = parse_image_example(recs[0], 8)
+    assert got_label == 5
+    np.testing.assert_array_equal(got_img, img)
+
+
+@pytest.fixture(scope="module")
+def synth_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("synth")
+    return make_synthetic_dataset(str(d), num=64, img_size=8, num_classes=4)
+
+
+def test_loader_batches_and_drop_remainder(synth_dir):
+    ds = ImageDataset(synth_dir, batch_size=10, shuffle_buffer=16)
+    batches = list(ds.epoch(0))
+    assert len(batches) == 6  # 64 // 10, remainder dropped
+    assert ds.steps_per_epoch == 6
+    imgs, labels = batches[0]
+    assert imgs.shape == (10, 8, 8, 3) and imgs.dtype == np.uint8
+    assert labels.shape == (10,) and labels.dtype == np.int32
+
+
+def test_loader_shuffles_between_epochs(synth_dir):
+    ds = ImageDataset(synth_dir, batch_size=16, shuffle_buffer=64)
+    a = np.concatenate([b[1] for b in ds.epoch(0)])
+    b = np.concatenate([b[1] for b in ds.epoch(1)])
+    assert a.shape == b.shape == (64,)
+    assert not np.array_equal(a, b)
+    assert sorted(a.tolist()) == sorted(b.tolist())  # same multiset
+
+
+def test_loader_data_size_truncation(synth_dir):
+    ds = ImageDataset(synth_dir, batch_size=8, data_size=24)
+    assert ds.steps_per_epoch == 3
+    assert len(list(ds.epoch(0))) == 3
+
+
+def test_loader_multihost_sharding_partitions_records(synth_dir):
+    shards = []
+    for pi in range(2):
+        ds = ImageDataset(synth_dir, batch_size=16, shuffle_buffer=1,
+                          process_index=pi, process_count=2)
+        shards.append(np.concatenate([b[1] for b in ds.epoch(0)]))
+    assert len(shards[0]) == len(shards[1]) == 32
+    # together the shards cover the full dataset exactly once
+    all_labels = sorted(np.concatenate(shards).tolist())
+    full = ImageDataset(synth_dir, batch_size=64, shuffle_buffer=1)
+    expected = sorted(np.concatenate([b[1] for b in full.epoch(0)]).tolist())
+    assert all_labels == expected
+
+
+def test_get_dataset_and_info_merges_metadata(synth_dir):
+    config = {"data_path": synth_dir, "batch_size": 8,
+              "global_batch_size": 16}
+    ds, cfg = get_dataset_and_info(config)
+    assert cfg["img_size"] == 8 and cfg["num_classes"] == 4
+    assert cfg["num_records"] == 64
+    assert ds.batch_size == 16  # single host: per-host == global
