@@ -1,0 +1,2 @@
+from .mesh import (DATA_AXIS, batch_sharding, initialize_distributed,
+                   make_mesh, replicate, replicated_sharding, shard_batch)

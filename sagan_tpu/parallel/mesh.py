@@ -1,0 +1,71 @@
+"""Device mesh + sharding helpers — the TPU-native replacement for
+``tf.distribute.MirroredStrategy`` (/root/reference/sagan/main.py:91-98).
+
+Instead of a strategy object that intercepts variable creation, we build a
+1-D ``jax.sharding.Mesh`` over the ``data`` axis and express everything as
+shardings:
+
+* parameters / optimizer state: replicated (``P()``) — the model is tens
+  of MB, far below the FSDP threshold (SURVEY.md §2.2);
+* batches: sharded on ``data`` (``P('data')``);
+* the train step runs under ``shard_map``; gradients and BatchNorm
+  moments are combined with ``lax.pmean`` over ``data``, which XLA lowers
+  to ICI all-reduces — no NCCL-analog code to write (SURVEY.md §2.3).
+
+Multi-host: ``initialize_distributed()`` wires ``jax.distributed`` so the
+same mesh spans pods; per-host data sharding is handled by the loader's
+``process_index`` striding.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(num_devices: int | None = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh. ``num_devices=None`` → all local devices."""
+    if devices is None:
+        devices = jax.devices()
+        if num_devices is not None:
+            if num_devices > len(devices):
+                raise ValueError(
+                    f"requested {num_devices} devices, have {len(devices)}")
+            devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """Device-put host batches with leading-axis sharding over ``data``."""
+    sh = batch_sharding(mesh)
+    out = tuple(jax.device_put(a, sh) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
+def replicate(mesh: Mesh, tree):
+    """Device-put a pytree fully replicated across the mesh."""
+    sh = replicated_sharding(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
+
+
+def initialize_distributed(coordinator: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host bring-up (DCN): call once per host before building the
+    mesh. No-op for single-process runs."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)

@@ -1,0 +1,325 @@
+"""GAN trainer: shard_map data-parallel TTUR training over an ICI mesh.
+
+The TPU-native replacement for the reference's Trainer
+(/root/reference/sagan/main.py:88-341).  Key differences by design:
+
+* one jitted, donated ``train_step`` compiled under ``shard_map`` over a
+  1-D ``data`` mesh — the MirroredStrategy replica loop, the implicit
+  NCCL all-reduce at ``apply_gradients``, and the explicit
+  ``strategy.reduce`` metric sums (sagan/main.py:213-236) all collapse
+  into ``lax.pmean`` collectives that XLA schedules onto ICI;
+* state (G/D variables, both optimizer states, step, PRNG key) is one
+  explicit pytree, donated every step — no host↔device traffic besides
+  the uint8 batch and scalar metrics;
+* D's inner update loop (``update_ratio``× per G step,
+  sagan/main.py:175-192) is unrolled statically inside the same XLA
+  program, G forward for fakes runs without gradient exactly like the
+  reference's outside-the-tape call (:178);
+* batches arrive uint8 and are normalized to [-1,1] on device
+  (sagan/dataset.py:33 semantics, but after the transfer, not before);
+* per-replica RNG: the step key is folded with ``axis_index('data')`` so
+  replicas draw independent noise/fake-labels — then gradients pmean.
+
+Checkpointing is Orbax (G and D state together, step-indexed, keep-10 —
+the analog of the twin CheckpointManagers at sagan/main.py:149-152);
+summaries go through our TensorBoard-format writer; sample grids are PNG.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from ..data.loader import get_dataset_and_info
+from ..models import get_discriminator, get_generator
+from ..ops.losses import get_loss
+from ..parallel.mesh import DATA_AXIS, make_mesh, replicate, shard_batch
+from ..utils.images import save_image_grid
+from ..utils.tb_writer import SummaryWriter
+from .optim import make_gan_optimizers
+
+
+class TrainState(NamedTuple):
+    vars_g: Any
+    vars_d: Any
+    opt_g: Any
+    opt_d: Any
+    step: jax.Array     # int32 global step counter
+    rng: jax.Array      # master PRNG key (folded with step per iteration)
+
+
+def build_train_step(gen, disc, opt_g, opt_d, config, mesh):
+    """Returns jitted (state, images_u8, labels) -> (state, metrics)."""
+    z_dim = config["z_dim"]
+    num_classes = max(1, config.get("num_classes", 1))
+    update_ratio = config.get("update_ratio", 1)
+    gloss_fn, dloss_fn = get_loss(config.get("loss", "hinge_loss"))
+    axis = DATA_AXIS
+
+    def sample_latents(key, batch):
+        kz, kl = jax.random.split(key)
+        z = jax.random.normal(kz, (batch, z_dim), jnp.float32)
+        fake_labels = jax.random.randint(kl, (batch,), 0, num_classes)
+        return z, fake_labels
+
+    def step_fn(state: TrainState, images_u8, labels):
+        batch = images_u8.shape[0]  # per-replica batch
+        # device-side normalization to [-1, 1] (sagan/dataset.py:33)
+        images = images_u8.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+
+        step_key = jax.random.fold_in(state.rng, state.step)
+        replica_key = jax.random.fold_in(step_key, lax.axis_index(axis))
+
+        vars_g, vars_d = state.vars_g, state.vars_d
+        opt_g_state, opt_d_state = state.opt_g, state.opt_d
+
+        # ---- D updates (update_ratio x, sagan/main.py:175-192) ----------
+        d_loss_acc = jnp.float32(0.0)
+        for i in range(update_ratio):
+            z, fl = sample_latents(
+                jax.random.fold_in(replica_key, i), batch)
+            fake, aux_g = gen(vars_g, z, fl, train=True, axis=axis)
+            fake = lax.stop_gradient(fake)
+            vars_g = {"params": vars_g["params"], "aux": aux_g}
+
+            def d_loss(params_d, aux_d, fake=fake, fl=fl):
+                vd = {"params": params_d, "aux": aux_d}
+                out_real, aux1 = disc(vd, images, labels, train=True,
+                                      axis=axis)
+                vd = {"params": params_d, "aux": aux1}
+                out_fake, aux2 = disc(vd, fake, fl, train=True, axis=axis)
+                return dloss_fn(out_real, out_fake), aux2
+
+            (loss_d, aux_d), grads_d = jax.value_and_grad(
+                d_loss, has_aux=True)(vars_d["params"], vars_d["aux"])
+            grads_d = lax.pmean(grads_d, axis)
+            loss_d = lax.pmean(loss_d, axis)
+            updates, opt_d_state = opt_d.update(grads_d, opt_d_state,
+                                                vars_d["params"])
+            vars_d = {"params": optax.apply_updates(vars_d["params"],
+                                                    updates),
+                      "aux": aux_d}
+            d_loss_acc = d_loss_acc + loss_d
+        d_grad_norm = optax.global_norm(grads_d)
+
+        # ---- G update (sagan/main.py:194-205) ---------------------------
+        z, fl = sample_latents(jax.random.fold_in(replica_key, 1000), batch)
+
+        def g_loss(params_g, aux_g):
+            vg = {"params": params_g, "aux": aux_g}
+            fake, aux_g2 = gen(vg, z, fl, train=True, axis=axis)
+            out_fake, aux_d2 = disc(vars_d, fake, fl, train=True, axis=axis)
+            return gloss_fn(out_fake), (aux_g2, aux_d2)
+
+        (loss_g, (aux_g2, aux_d2)), grads_g = jax.value_and_grad(
+            g_loss, has_aux=True)(vars_g["params"], vars_g["aux"])
+        grads_g = lax.pmean(grads_g, axis)
+        loss_g = lax.pmean(loss_g, axis)
+        updates, opt_g_state = opt_g.update(grads_g, opt_g_state,
+                                            vars_g["params"])
+        vars_g = {"params": optax.apply_updates(vars_g["params"], updates),
+                  "aux": aux_g2}
+        vars_d = {"params": vars_d["params"], "aux": aux_d2}
+
+        metrics = {
+            "G_loss": loss_g,
+            "D_loss": d_loss_acc / update_ratio,
+            "G_grad_norm": optax.global_norm(grads_g),
+            "D_grad_norm": d_grad_norm,
+        }
+        new_state = TrainState(vars_g, vars_d, opt_g_state, opt_d_state,
+                               state.step + 1, state.rng)
+        return new_state, metrics
+
+    sharded = jax.shard_map(
+        step_fn, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def build_sample_fn(gen, mesh):
+    """Jitted eval-mode generation from fixed latents (summary grids)."""
+
+    def sample(vars_g, z, labels):
+        imgs, _ = gen(vars_g, z, labels, train=False)
+        return imgs.astype(jnp.float32)
+
+    return jax.jit(sample)
+
+
+class Trainer:
+    """Config-driven trainer (same config dict contract as
+    /root/reference/sagan/main.py — see utils/config.py)."""
+
+    def __init__(self, config: dict):
+        self.ds_train, self.config = get_dataset_and_info(config)
+        config = self.config
+
+        num_devices = config.get("num_devices") or len(jax.devices())
+        self.mesh = make_mesh(num_devices)
+        n = self.mesh.size
+        if config["global_batch_size"] % n:
+            raise ValueError(
+                f"global_batch_size {config['global_batch_size']} not "
+                f"divisible by {n} devices")
+
+        self.steps_per_epoch = self.ds_train.steps_per_epoch
+        print("total steps:", self.steps_per_epoch * config["epoch"])
+
+        self.generator = get_generator(config)
+        self.discriminator = get_discriminator(config)
+
+        (self.opt_g, self.sched_g), (self.opt_d, self.sched_d) = \
+            make_gan_optimizers(config, self.steps_per_epoch)
+
+        key = jax.random.PRNGKey(config.get("seed", 0))
+        kg, kd, kz, kl, krest = jax.random.split(key, 5)
+        vars_g = self.generator.init(kg)
+        vars_d = self.discriminator.init(kd)
+        state = TrainState(
+            vars_g=vars_g,
+            vars_d=vars_d,
+            opt_g=self.opt_g.init(vars_g["params"]),
+            opt_d=self.opt_d.init(vars_d["params"]),
+            step=jnp.int32(0),
+            rng=krest,
+        )
+        self.state = replicate(self.mesh, state)
+
+        # fixed eval latents (sagan/main.py:167-168)
+        num_sample = config.get("num_sample", 16)
+        self.fixed_z = jax.random.normal(kz, (num_sample, config["z_dim"]))
+        self.fixed_labels = jax.random.randint(
+            kl, (num_sample,), 0, max(1, config.get("num_classes", 1)))
+
+        self.train_step = build_train_step(
+            self.generator, self.discriminator, self.opt_g, self.opt_d,
+            config, self.mesh)
+        self.sample_fn = build_sample_fn(self.generator, self.mesh)
+
+        self.writer = None
+        if config.get("log_dir"):
+            self.writer = SummaryWriter(config["log_dir"])
+
+        self.ckpt_mgr = None
+        if config.get("ckpt_dir"):
+            from .checkpoint import CheckpointManager
+            self.ckpt_mgr = CheckpointManager(config["ckpt_dir"],
+                                              max_to_keep=10)
+            restored = self.ckpt_mgr.restore_latest(self.state)
+            if restored is not None:
+                self.state = replicate(self.mesh, restored)
+                print(f"Restored from checkpoint at step "
+                      f"{int(self.state.step)}")
+            else:
+                print("Initializing from scratch.")
+
+        self._profile_dir = config.get("profile_dir")
+
+    # -- helpers -----------------------------------------------------------
+    def global_step(self) -> int:
+        return int(jax.device_get(self.state.step))
+
+    def sample_images(self) -> np.ndarray:
+        imgs = self.sample_fn(self.state.vars_g, self.fixed_z,
+                              self.fixed_labels)
+        return np.asarray(jax.device_get(imgs))
+
+    def _epoch_of(self, step: int) -> int:
+        return step // max(1, self.steps_per_epoch)
+
+    # -- main loop (sagan/main.py:238-297) ---------------------------------
+    def train(self, num_epochs: int | None = None):
+        config = self.config
+        num_epochs = num_epochs or config["epoch"]
+        summary_freq = config.get("summary_step_freq", 100)
+        img_dir = config.get("img_dir")
+        fid_freq = config.get("fid_epoch_freq", 0)
+        start_epoch = self._epoch_of(self.global_step())
+
+        for epoch in range(start_epoch, num_epochs):
+            t0 = time.time()
+            running = {}
+            count = 0
+            for images, labels in self.ds_train.epoch(epoch):
+                images, labels = shard_batch(self.mesh, images, labels)
+                self.state, metrics = self.train_step(self.state, images,
+                                                      labels)
+                count += 1
+                if count % summary_freq == 0:
+                    m = {k: float(v) for k, v in
+                         jax.device_get(metrics).items()}
+                    for k, v in m.items():
+                        running[k] = running.get(k, 0.0) + v
+                    running["_n"] = running.get("_n", 0) + 1
+                    if self.writer:
+                        self.writer.scalars(
+                            {f"step/{k}": v for k, v in m.items()},
+                            self.global_step())
+                        self.writer.flush()
+
+            step = self.global_step()
+            epoch_time = time.time() - t0
+            m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            if self.writer:
+                self.writer.scalars(
+                    {"generator_loss": m["G_loss"],
+                     "discriminator_loss": m["D_loss"],
+                     "G_grad_norm": m["G_grad_norm"],
+                     "D_grad_norm": m["D_grad_norm"],
+                     "epoch_time_sec": epoch_time,
+                     "lr_g": float(self.sched_g(step)),
+                     "lr_d": float(self.sched_d(step * config.get(
+                         "update_ratio", 1)))},
+                    epoch)
+                self.writer.flush()
+            imgs_per_sec = (self.steps_per_epoch *
+                            config["global_batch_size"] / epoch_time)
+            print(f"epoch {epoch}: G_loss={m['G_loss']:.4f} "
+                  f"D_loss={m['D_loss']:.4f} time={epoch_time:.1f}s "
+                  f"({imgs_per_sec:.1f} imgs/s)", flush=True)
+
+            # checkpoint at epoch 5 then every 10 (sagan/main.py:284-287)
+            if self.ckpt_mgr and (epoch == 5 or (epoch and epoch % 10 == 0)
+                                  or epoch == num_epochs - 1):
+                self.ckpt_mgr.save(step, self.state)
+
+            # sample grids: first 5 epochs then every 5 (sagan/main.py:289)
+            if img_dir and (epoch < 5 or epoch % 5 == 0
+                            or epoch == num_epochs - 1):
+                grid = self.sample_images()
+                save_image_grid(grid, os.path.join(
+                    img_dir, f"epoch_{epoch:04d}.png"))
+                if self.writer:
+                    from ..utils.images import make_grid
+                    self.writer.image("sample", make_grid(grid), step)
+                    self.writer.flush()
+
+            if fid_freq and (epoch + 1) % fid_freq == 0:
+                from .fid import compute_fid_for_trainer
+                fid = compute_fid_for_trainer(self)
+                print(f"epoch {epoch}: FID = {fid:.2f}", flush=True)
+                if self.writer:
+                    self.writer.scalar("FID", fid, step)
+                    self.writer.flush()
+
+        if self.ckpt_mgr:
+            self.ckpt_mgr.wait()
+
+
+def main(config: dict):
+    trainer = Trainer(config)
+    trainer.train()
+    return trainer

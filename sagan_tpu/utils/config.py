@@ -1,0 +1,73 @@
+"""Config loading — preserves the reference's CLI + Python-file config API.
+
+``python -m sagan_tpu.main --config_path example_configs/foo.py`` where
+the config file defines a module-level dict named ``config``
+(/root/reference/sagan/main.py:350-372, sagan/utils/parameters.py:3-14).
+
+Reference keys are honored verbatim (SURVEY.md §2.1 "Config files" row).
+``gpu`` (a device-index list) generalizes to TPU: the data-parallel width
+is ``num_devices`` if given, else ``len(gpu)`` if present, else all local
+devices; ``global_batch_size = batch_size × width`` exactly as
+sagan/main.py:358.
+"""
+
+from __future__ import annotations
+
+import argparse
+import runpy
+
+
+def get_parameters(argv=None):
+    """argparse surface of the reference
+    (/root/reference/sagan/utils/parameters.py:3-14)."""
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config_path", type=str, required=True,
+                    help="python file defining a `config` dict")
+    ap.add_argument("--debug", action="store_true")
+    return ap.parse_args(argv)
+
+
+def load_config_file(path: str) -> dict:
+    module = runpy.run_path(path)
+    config = module.get("config")
+    if config is None:
+        raise ValueError(f"{path} must define a module-level `config` dict")
+    return dict(config)
+
+
+DEFAULTS = {
+    "model": "vanilla",
+    "loss": "hinge_loss",
+    "update_ratio": 1,
+    "decay_rate": 1.0,
+    "use_attention": False,
+    "attn_dim_G": [],
+    "attn_dim_D": [],
+    "use_label": False,
+    "use_cond_bn": False,
+    "num_sample": 16,
+    "summary_step_freq": 100,
+    "data_size": -1,
+    "epoch": 100,
+    "seed": 0,
+    "compute_dtype": "bfloat16",
+    "fid_epoch_freq": 0,
+}
+
+
+def resolve_config(config: dict, num_local_devices: int | None = None) -> dict:
+    """Fill defaults and derive global_batch_size / num_devices."""
+    import jax
+
+    cfg = dict(DEFAULTS)
+    cfg.update(config)
+    if num_local_devices is None:
+        num_local_devices = len(jax.devices())
+    width = cfg.get("num_devices")
+    if not width:
+        gpus = cfg.get("gpu")
+        width = len(gpus) if gpus else num_local_devices
+        width = min(width, num_local_devices)
+    cfg["num_devices"] = width
+    cfg.setdefault("global_batch_size", cfg["batch_size"] * width)
+    return cfg

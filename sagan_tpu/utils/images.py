@@ -1,0 +1,43 @@
+"""Sample-image grid utilities.
+
+Replaces the matplotlib gridspec path
+(/root/reference/sagan/main.py:300-320) with direct PNG assembly —
+no figure machinery, byte-identical pixels.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def denormalize(x: np.ndarray) -> np.ndarray:
+    """[-1, 1] float → uint8, matching the reference's
+    ``uint8(x*127.5 + 127.5)`` de-norm (sagan/main.py:334 uses +128; we
+    center exactly)."""
+    x = np.asarray(x, dtype=np.float32)
+    return np.clip(x * 127.5 + 127.5, 0, 255).astype(np.uint8)
+
+
+def make_grid(images: np.ndarray, pad: int = 2) -> np.ndarray:
+    """[N, H, W, 3] float in [-1,1] → one uint8 grid image,
+    ceil(sqrt(N)) per side (reference: n = sqrt(num_sample),
+    sagan/main.py:304-308)."""
+    n, h, w, c = images.shape
+    side = int(np.ceil(np.sqrt(n)))
+    grid = np.zeros((side * (h + pad) - pad, side * (w + pad) - pad, c),
+                    np.uint8)
+    u8 = denormalize(images)
+    for i in range(n):
+        r, col = divmod(i, side)
+        grid[r * (h + pad):r * (h + pad) + h,
+             col * (w + pad):col * (w + pad) + w] = u8[i]
+    return grid
+
+
+def save_image_grid(images: np.ndarray, path: str) -> None:
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(make_grid(images)).save(path)

