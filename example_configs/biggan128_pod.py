@@ -1,0 +1,34 @@
+# BigGAN-style large-batch 128x128: batch 2048 data-parallel over a pod,
+# cross-replica BN — BASELINE.json config #5.  batch_size is per device:
+# 2048 global over a v5e-256 slice (or scale num_devices down).
+output_name = "biggan128_pod_b2048"
+config = {
+    "num_devices": None,           # all devices in the slice
+    "dataset": "imagenet",
+    "data_path": "data/imagenet_labeled_128",
+    "data_size": -1,
+    "model": "resnet",
+    "z_dim": 128,
+    "gf_dim": 32,
+    "df_dim": 32,
+    "lr_g": 1e-4,
+    "lr_d": 4e-4,
+    "decay_rate": 1.0,
+    "use_attention": True,
+    "attn_dim_G": [64],
+    "attn_dim_D": [64],
+    "use_label": True,
+    "use_cond_bn": True,
+    "batch_size": 8,               # x256 chips = 2048 global
+    "loss": "hinge_loss",
+    "epoch": 100,
+    "update_ratio": 2,
+    "compute_dtype": "bfloat16",
+    "num_sample": 16,
+    "summary_step_freq": 50,
+    "fid_epoch_freq": 5,
+    "fid_num_images": 50000,
+    "log_dir": "logs/{}".format(output_name),
+    "ckpt_dir": "checkpoints/{}".format(output_name),
+    "img_dir": "images/{}".format(output_name),
+}

@@ -40,3 +40,22 @@ def make_synthetic_dataset(directory: str, num: int = 256, img_size: int = 32,
     write_image_dataset(directory, (p[0] for p in pairs),
                         (p[1] for p in pairs), img_size, num_classes)
     return directory
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description="generate a synthetic dataset")
+    ap.add_argument("directory")
+    ap.add_argument("--num", type=int, default=2048)
+    ap.add_argument("--img_size", type=int, default=32)
+    ap.add_argument("--num_classes", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+    make_synthetic_dataset(args.directory, args.num, args.img_size,
+                           args.num_classes, args.seed)
+    print(f"wrote {args.num} records to {args.directory}")
+
+
+if __name__ == "__main__":
+    main()

@@ -11,8 +11,9 @@ fuses the ``w/sigma`` scale into the conv/matmul weight path.
 Layout & precision conventions (TPU-first):
 * activations NHWC, conv kernels HWIO — XLA TPU's preferred conv layout;
 * parameters and norm statistics are fp32; matmuls/convs run in the
-  layer's ``dtype`` (bf16 by default in models) with fp32 MXU accumulation
-  via ``preferred_element_type``;
+  layer's ``dtype`` (bf16 by default in models) — the TPU MXU accumulates
+  bf16 products in fp32 internally; fp32 inputs use Precision.HIGHEST so
+  no backend silently demotes them;
 * BatchNorm moments are computed in fp32 and, when ``cx.axis`` names a
   mesh axis, reduced with ``lax.pmean`` across replicas — closing the
   per-replica-statistics gap of the reference (SURVEY.md §2.2, last row).
@@ -24,6 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops.util import matmul_precision
 from . import initializers as init
 from .module import Ctx, Module
 
@@ -63,8 +65,7 @@ class Dense(Module):
     def forward(self, cx: Ctx, x):
         w = _maybe_sn(cx, self, cx.param("w"))
         y = jnp.dot(x.astype(self.dtype), w.astype(self.dtype),
-                    preferred_element_type=jnp.float32,
-                    precision=lax.Precision.HIGHEST)
+                    precision=matmul_precision(self.dtype))
         if self.use_bias:
             y = y + cx.param("b")
         return y.astype(self.dtype)
@@ -98,8 +99,7 @@ class Conv(Module):
             window_strides=(self.stride, self.stride),
             padding=self.padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST,
+            precision=matmul_precision(self.dtype),
         )
         if self.use_bias:
             y = y + cx.param("b")
@@ -134,8 +134,7 @@ class ConvTranspose(Module):
             strides=(self.stride, self.stride),
             padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST,
+            precision=matmul_precision(self.dtype),
         )
         if self.use_bias:
             y = y + cx.param("b")

@@ -35,13 +35,16 @@ def attention_reference(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     Returns:
       [B, N, C] attention output in q.dtype.
     """
+    from .util import matmul_precision
+
+    prec = matmul_precision(q.dtype)
     logits = jnp.einsum("bnd,bmd->bnm", q, k,
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=prec)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bnm,bmc->bnc", probs.astype(v.dtype), v,
                      preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+                     precision=prec)
     return out.astype(q.dtype)
 
 

@@ -1,0 +1,93 @@
+"""Pallas kernel vs. einsum-oracle tests (interpreter mode on CPU; the
+same kernels compile natively on TPU — exercised by bench.py and
+__graft_entry__.entry())."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sagan_tpu.ops.attention import attention_reference
+from sagan_tpu.ops.pallas_attention import attention_fused
+
+KEY = jax.random.PRNGKey(0)
+
+
+def rand_qkv(b=2, n=64, m=16, d=8, c=16, dtype=jnp.float32):
+    kq, kk, kv = jax.random.split(KEY, 3)
+    q = jax.random.normal(kq, (b, n, d), dtype)
+    k = jax.random.normal(kk, (b, m, d), dtype)
+    v = jax.random.normal(kv, (b, m, c), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("n,m", [(64, 16), (256, 64), (64, 64)])
+def test_fused_forward_matches_reference(n, m):
+    q, k, v = rand_qkv(n=n, m=m)
+    ref = attention_reference(q, k, v)
+    out = attention_fused(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_fused_forward_multiple_query_blocks():
+    # force >1 query block per batch: n=256 with block 256? _pick_block
+    # picks the largest divisor; use n=2048 -> block 1024, 2 blocks
+    q, k, v = rand_qkv(b=1, n=2048, m=32, d=4, c=8)
+    ref = attention_reference(q, k, v)
+    out = attention_fused(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_fused_backward_matches_reference():
+    q, k, v = rand_qkv(b=2, n=128, m=32, d=8, c=8)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(attention_fused(q, k, v, interpret=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-4,
+                                   err_msg=f"d{name} mismatch")
+
+
+def test_fused_backward_accumulates_over_query_blocks():
+    # n large enough for multiple blocks: dk/dv must sum over all of them
+    q, k, v = rand_qkv(b=1, n=2048, m=16, d=4, c=4)
+
+    def loss_fused(k, v):
+        return jnp.sum(attention_fused(q, k, v, interpret=True) * 0.01)
+
+    def loss_ref(k, v):
+        return jnp.sum(attention_reference(q, k, v) * 0.01)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1))(k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
+
+
+def test_fused_bfloat16_inputs():
+    q, k, v = rand_qkv(n=64, m=16, dtype=jnp.bfloat16)
+    ref = attention_reference(q.astype(jnp.float32), k.astype(jnp.float32),
+                              v.astype(jnp.float32))
+    out = attention_fused(q, k, v, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               atol=0.05, rtol=0.05)
+
+
+def test_untileable_shape_falls_back():
+    q = jax.random.normal(KEY, (1, 15, 4))  # 15 tokens: no block divides
+    k = jax.random.normal(KEY, (1, 5, 4))
+    v = jax.random.normal(KEY, (1, 5, 4))
+    out = attention_fused(q, k, v)
+    ref = attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
