@@ -51,9 +51,14 @@ class ImageDataset:
     def __init__(self, data_path: str, batch_size: int,
                  data_size: int = -1, shuffle_buffer: int = SHUFFLE_BUFFER,
                  seed: int = 0, process_index: int = 0,
-                 process_count: int = 1, prefetch_depth: int = 2):
+                 process_count: int = 1, prefetch_depth: int = 2,
+                 use_native: bool | None = None):
         self.files = _find_files(data_path)
         self.meta = load_metadata(data_path)
+        if use_native is None:
+            from . import native
+            use_native = native.available()
+        self.use_native = use_native
         self.img_size = int(self.meta["img_size"])
         self.num_classes = int(self.meta["num_classes"])
         self.num_records = int(self.meta["num_records"])
@@ -70,34 +75,39 @@ class ImageDataset:
         per_host = total // process_count
         self.steps_per_epoch = per_host // batch_size
 
-    # -- record stream -----------------------------------------------------
-    def _records(self) -> Iterator[bytes]:
+    # -- decoded item stream -----------------------------------------------
+    def _items(self) -> Iterator[tuple]:
+        """Yield (uint8 [S,S,3] image, int label), sharded + truncated."""
         idx = 0
         limit = self.data_size if self.data_size not in (-1, None) else None
         for path in self.files:
-            for rec in self._file_records(path):
+            for img, label in self._file_items(path):
                 if limit is not None and idx >= limit:
                     return
                 if idx % self.process_count == self.process_index:
-                    yield rec
+                    yield img, label
                 idx += 1
 
-    def _file_records(self, path: str) -> Iterator[bytes]:
-        try:
-            from .native import native_read_records
-            yield from native_read_records(path)
-        except ImportError:
-            yield from read_records(path)
+    def _file_items(self, path: str) -> Iterator[tuple]:
+        if self.use_native:
+            from .native import native_read_image_examples
+            for imgs, labels in native_read_image_examples(path,
+                                                           self.img_size):
+                for i in range(imgs.shape[0]):
+                    yield imgs[i], int(labels[i])
+        else:
+            for rec in read_records(path):
+                yield parse_image_example(rec, self.img_size)
 
-    def _shuffled(self, rng: np.random.Generator) -> Iterator[bytes]:
-        buf: list[bytes] = []
-        for rec in self._records():
+    def _shuffled(self, rng: np.random.Generator) -> Iterator[tuple]:
+        buf: list[tuple] = []
+        for item in self._items():
             if len(buf) < self.shuffle_buffer:
-                buf.append(rec)
+                buf.append(item)
                 continue
             j = int(rng.integers(len(buf)))
-            buf[j], rec = rec, buf[j]
-            yield rec
+            buf[j], item = item, buf[j]
+            yield item
         rng.shuffle(buf)  # type: ignore[arg-type]
         yield from buf
 
@@ -112,8 +122,7 @@ class ImageDataset:
                             np.uint8)
             labels = np.empty((self.batch_size,), np.int32)
             fill = 0
-            for rec in self._shuffled(rng):
-                img, label = parse_image_example(rec, self.img_size)
+            for img, label in self._shuffled(rng):
                 imgs[fill] = img
                 labels[fill] = label
                 fill += 1
