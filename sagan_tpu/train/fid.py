@@ -182,11 +182,13 @@ def compute_fid_for_trainer(trainer, num_images: int | None = None) -> float:
     z_dim = config["z_dim"]
     num_classes = max(1, config.get("num_classes", 1))
 
+    eval_vars = trainer.eval_vars_g()
+
     def sample_batch(key, n):
         kz, kl = jax.random.split(key)
         z = jax.random.normal(kz, (n, z_dim))
         labels = jax.random.randint(kl, (n,), 0, num_classes)
-        return trainer.sample_fn(trainer.state.vars_g, z, labels)
+        return trainer.sample_fn(eval_vars, z, labels)
 
     return compute_fid(trainer.ds_train, sample_batch, config,
                        num_images=num_images,

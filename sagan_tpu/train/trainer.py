@@ -55,6 +55,7 @@ class TrainState(NamedTuple):
     opt_d: Any
     step: jax.Array     # int32 global step counter
     rng: jax.Array      # master PRNG key (folded with step per iteration)
+    ema_g: Any = None   # EMA of G params (None when g_ema_decay == 0)
 
 
 def build_train_step(gen, disc, opt_g, opt_d, config, mesh):
@@ -63,6 +64,7 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh):
     num_classes = max(1, config.get("num_classes", 1))
     update_ratio = config.get("update_ratio", 1)
     gloss_fn, dloss_fn = get_loss(config.get("loss", "hinge_loss"))
+    ema_decay = config.get("g_ema_decay", 0.0)
     axis = DATA_AXIS
 
     def sample_latents(key, batch):
@@ -92,11 +94,18 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh):
             vars_g = {"params": vars_g["params"], "aux": aux_g}
 
             def d_loss(params_d, aux_d, fake=fake, fl=fl):
+                # Real and fake batches share one D forward (concatenated
+                # on the batch axis): identical math — D has no
+                # batch-coupled layers across the two halves the reference
+                # cares about — and half the kernel dispatches of the
+                # reference's two separate calls (sagan/main.py:181-182),
+                # the hottest region of the step (SURVEY.md §3.2).
                 vd = {"params": params_d, "aux": aux_d}
-                out_real, aux1 = disc(vd, images, labels, train=True,
-                                      axis=axis)
-                vd = {"params": params_d, "aux": aux1}
-                out_fake, aux2 = disc(vd, fake, fl, train=True, axis=axis)
+                both = jnp.concatenate([images.astype(fake.dtype), fake], 0)
+                both_labels = jnp.concatenate([labels, fl], 0)
+                out, aux2 = disc(vd, both, both_labels, train=True,
+                                 axis=axis)
+                out_real, out_fake = out[:batch], out[batch:]
                 return dloss_fn(out_real, out_fake), aux2
 
             (loss_d, aux_d), grads_d = jax.value_and_grad(
@@ -130,6 +139,12 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh):
                   "aux": aux_g2}
         vars_d = {"params": vars_d["params"], "aux": aux_d2}
 
+        ema_g = state.ema_g
+        if ema_g is not None:
+            ema_g = jax.tree.map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                ema_g, vars_g["params"])
+
         metrics = {
             "G_loss": loss_g,
             "D_loss": d_loss_acc / update_ratio,
@@ -137,7 +152,7 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh):
             "D_grad_norm": d_grad_norm,
         }
         new_state = TrainState(vars_g, vars_d, opt_g_state, opt_d_state,
-                               state.step + 1, state.rng)
+                               state.step + 1, state.rng, ema_g)
         return new_state, metrics
 
     sharded = jax.shard_map(
@@ -188,6 +203,7 @@ class Trainer:
         kg, kd, kz, kl, krest = jax.random.split(key, 5)
         vars_g = self.generator.init(kg)
         vars_d = self.discriminator.init(kd)
+        ema_decay = config.get("g_ema_decay", 0.0)
         state = TrainState(
             vars_g=vars_g,
             vars_d=vars_d,
@@ -195,6 +211,8 @@ class Trainer:
             opt_d=self.opt_d.init(vars_d["params"]),
             step=jnp.int32(0),
             rng=krest,
+            ema_g=(jax.tree.map(jnp.copy, vars_g["params"])
+                   if ema_decay > 0 else None),
         )
         self.state = replicate(self.mesh, state)
 
@@ -232,8 +250,17 @@ class Trainer:
     def global_step(self) -> int:
         return int(jax.device_get(self.state.step))
 
+    def eval_vars_g(self):
+        """G variables for evaluation: EMA params when tracked (standard
+        GAN eval practice; extension over the reference), else the live
+        training params."""
+        state = self.state
+        if state.ema_g is not None:
+            return {"params": state.ema_g, "aux": state.vars_g["aux"]}
+        return state.vars_g
+
     def sample_images(self) -> np.ndarray:
-        imgs = self.sample_fn(self.state.vars_g, self.fixed_z,
+        imgs = self.sample_fn(self.eval_vars_g(), self.fixed_z,
                               self.fixed_labels)
         return np.asarray(jax.device_get(imgs))
 
@@ -249,11 +276,20 @@ class Trainer:
         fid_freq = config.get("fid_epoch_freq", 0)
         start_epoch = self._epoch_of(self.global_step())
 
+        profiling = False
         for epoch in range(start_epoch, num_epochs):
             t0 = time.time()
             running = {}
             count = 0
             for images, labels in self.ds_train.epoch(epoch):
+                if self._profile_dir and epoch == start_epoch:
+                    # trace steps [10, 20) of the first epoch (post-warmup)
+                    if count == 10 and not profiling:
+                        jax.profiler.start_trace(self._profile_dir)
+                        profiling = True
+                    elif count == 20 and profiling:
+                        jax.profiler.stop_trace()
+                        profiling = False
                 images, labels = shard_batch(self.mesh, images, labels)
                 self.state, metrics = self.train_step(self.state, images,
                                                       labels)
@@ -269,6 +305,14 @@ class Trainer:
                             {f"step/{k}": v for k, v in m.items()},
                             self.global_step())
                         self.writer.flush()
+
+            if profiling:
+                jax.profiler.stop_trace()
+                profiling = False
+            if count == 0:
+                raise RuntimeError(
+                    "epoch produced no batches — data_size/global_batch "
+                    "too small for even one step")
 
             step = self.global_step()
             epoch_time = time.time() - t0

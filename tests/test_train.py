@@ -149,3 +149,33 @@ def test_sample_images_shape(data16):
     imgs = tr.sample_images()
     assert imgs.shape == (4, 16, 16, 3)
     assert np.abs(imgs).max() <= 1.0
+
+
+def test_ema_generator_tracked_and_used(data16):
+    cfg = tiny_config(data16, num_devices=2, g_ema_decay=0.9)
+    tr = Trainer(cfg)
+    assert tr.state.ema_g is not None
+    from sagan_tpu.parallel.mesh import shard_batch
+    images, labels = next(iter(tr.ds_train.epoch(0)))
+    init_params = jax.tree.map(np.asarray, tr.state.vars_g["params"])
+    state2, _ = tr.train_step(tr.state, *shard_batch(tr.mesh, images, labels))
+    # ema moved toward (but not onto) the updated params
+    for e, p, p0 in zip(jax.tree.leaves(state2.ema_g),
+                        jax.tree.leaves(state2.vars_g["params"]),
+                        jax.tree.leaves(init_params)):
+        e, p, p0 = map(np.asarray, (e, p, p0))
+        if not np.allclose(p, p0):
+            assert not np.allclose(e, p) and not np.allclose(e, p0)
+            break
+    else:
+        raise AssertionError("no parameter moved")
+    tr.state = state2
+    imgs = tr.sample_images()
+    assert np.all(np.isfinite(imgs))
+
+
+def test_no_ema_by_default(data16):
+    cfg = tiny_config(data16, num_devices=2)
+    tr = Trainer(cfg)
+    assert tr.state.ema_g is None
+    assert tr.eval_vars_g() is tr.state.vars_g
