@@ -94,7 +94,8 @@ def main():
     }
 
     optimized = dict(base, compute_dtype="bfloat16", use_pallas=None)
-    naive = dict(base, compute_dtype="float32", use_pallas=False)
+    naive = dict(base, compute_dtype="float32", use_pallas=False,
+                 fuse_d_batches=False)
 
     steps_per_sec = measure(*build(optimized))
     imgs_per_sec = steps_per_sec * base["global_batch_size"]

