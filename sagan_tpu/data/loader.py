@@ -164,24 +164,35 @@ def get_dataset_and_info(config: dict):
     """Reference-compatible entry point
     (/root/reference/sagan/dataset.py:131-143): loads metadata, merges
     ``{img_size, num_classes, num_records}`` into the config, and returns
-    (dataset, config)."""
+    (dataset, config).  ``use_image_generator`` selects the augmenting
+    image-folder path (sagan/dataset.py:139-142)."""
     data_path = config["data_path"]
-    meta = load_metadata(data_path)
     config = dict(config)
-    config.update(meta)
-
     global_batch = config.get("global_batch_size", config["batch_size"])
     process_count = config.get("process_count", 1)
     process_index = config.get("process_index", 0)
     per_host = global_batch // process_count
 
-    ds = ImageDataset(
-        data_path,
-        batch_size=per_host,
-        data_size=config.get("data_size", -1),
-        shuffle_buffer=config.get("shuffle_buffer", SHUFFLE_BUFFER),
-        seed=config.get("data_seed", 0),
-        process_index=process_index,
-        process_count=process_count,
-    )
+    if config.get("use_image_generator"):
+        from .image_folder import ImageFolderDataset
+        ds = ImageFolderDataset(
+            data_path,
+            batch_size=per_host,
+            img_size=config["img_size"],
+            data_size=config.get("data_size", -1),
+            seed=config.get("data_seed", 0),
+            process_index=process_index,
+            process_count=process_count,
+        )
+    else:
+        ds = ImageDataset(
+            data_path,
+            batch_size=per_host,
+            data_size=config.get("data_size", -1),
+            shuffle_buffer=config.get("shuffle_buffer", SHUFFLE_BUFFER),
+            seed=config.get("data_seed", 0),
+            process_index=process_index,
+            process_count=process_count,
+        )
+    config.update(ds.meta)
     return ds, config
