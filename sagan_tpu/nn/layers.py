@@ -129,11 +129,17 @@ class ConvTranspose(Module):
 
     def forward(self, cx: Ctx, x):
         w = _maybe_sn(cx, self, cx.param("w"))
+        # transpose_kernel=True reproduces TF/Keras Conv2DTranspose
+        # exactly (gradient-of-conv: spatial flip + I/O swap); the swap
+        # below presents our HWIO kernel in the [kh,kw,cout,cin] layout
+        # that mode expects.  Verified bit-level in test_tf_parity.py.
         y = lax.conv_transpose(
-            x.astype(self.dtype), w.astype(self.dtype),
+            x.astype(self.dtype),
+            jnp.swapaxes(w, 2, 3).astype(self.dtype),
             strides=(self.stride, self.stride),
             padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            transpose_kernel=True,
             precision=matmul_precision(self.dtype),
         )
         if self.use_bias:

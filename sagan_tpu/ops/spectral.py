@@ -67,6 +67,17 @@ def power_iterate(w_mat: jax.Array, u: jax.Array, n_iter: int = 1):
     return sigma, u, v
 
 
+# Backend switch: when True, spectral_normalize routes through the fused
+# Pallas kernel (ops/pallas_spectral.py).  Trace-time static — set it
+# (e.g. from config['use_pallas_sn']) before building the train step.
+_PALLAS_SN = False
+
+
+def use_pallas_sn(enabled: bool) -> None:
+    global _PALLAS_SN
+    _PALLAS_SN = bool(enabled)
+
+
 def spectral_normalize(w: jax.Array, u: jax.Array, n_iter: int = 1,
                        eps: float = 1e-12):
     """Normalize a kernel by its leading singular value.
@@ -78,6 +89,16 @@ def spectral_normalize(w: jax.Array, u: jax.Array, n_iter: int = 1,
       (w_bar, u_new): normalized kernel (same shape/dtype as w) and the
       updated u to store back into aux state.
     """
+    if _PALLAS_SN:
+        from .pallas_spectral import spectral_normalize_fused
+        return spectral_normalize_fused(w, u, n_iter=n_iter, eps=eps)
+    return spectral_normalize_xla(w, u, n_iter=n_iter, eps=eps)
+
+
+def spectral_normalize_xla(w: jax.Array, u: jax.Array, n_iter: int = 1,
+                           eps: float = 1e-12):
+    """The XLA-op implementation (also the fallback for weights too large
+    for the fused kernel's VMEM residence)."""
     w32 = w.astype(jnp.float32)
     w_mat = w32.reshape(-1, w.shape[-1])
     sigma, u_new, _ = power_iterate(w_mat, u.astype(jnp.float32), n_iter)

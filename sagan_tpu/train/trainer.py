@@ -66,6 +66,9 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh):
     gloss_fn, dloss_fn = get_loss(config.get("loss", "hinge_loss"))
     ema_decay = config.get("g_ema_decay", 0.0)
     fuse_d = config.get("fuse_d_batches", True)
+    if "use_pallas_sn" in config:
+        from ..ops.spectral import use_pallas_sn
+        use_pallas_sn(config["use_pallas_sn"])
     axis = DATA_AXIS
 
     def sample_latents(key, batch):
@@ -260,6 +263,20 @@ class Trainer:
     def global_step(self) -> int:
         return int(jax.device_get(self.state.step))
 
+    def var_summaries(self) -> dict:
+        """Mean of every generator variable, keyed by its tree path —
+        the reference's per-variable TensorBoard scalars
+        (sagan/main.py:154-165, 322-330)."""
+        flat = jax.tree_util.tree_flatten_with_path(
+            self.state.vars_g["params"])[0]
+        means = jax.jit(lambda leaves: [jnp.mean(x) for x in leaves])(
+            [leaf for _, leaf in flat])
+        out = {}
+        for (path, _), m in zip(flat, jax.device_get(means)):
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            out[f"vars/G/{name}"] = float(m)
+        return out
+
     def eval_vars_g(self):
         """G variables for evaluation: EMA params when tracked (standard
         GAN eval practice; extension over the reference), else the live
@@ -314,6 +331,9 @@ class Trainer:
                         self.writer.scalars(
                             {f"step/{k}": v for k, v in m.items()},
                             self.global_step())
+                        if config.get("summary_var", True):
+                            self.writer.scalars(self.var_summaries(),
+                                                self.global_step())
                         self.writer.flush()
 
             if profiling:

@@ -91,3 +91,62 @@ def test_untileable_shape_falls_back():
     out = attention_fused(q, k, v)
     ref = attention_reference(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# fused spectral-norm kernel
+# ---------------------------------------------------------------------------
+
+from sagan_tpu.ops.pallas_spectral import spectral_normalize_fused
+from sagan_tpu.ops.spectral import exact_sigma, spectral_normalize_xla
+
+
+def test_sn_fused_matches_xla_path():
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 16, 24))
+    u = jax.random.normal(jax.random.PRNGKey(2), (24,))
+    u = u / jnp.linalg.norm(u)
+    wb_x, u_x = spectral_normalize_xla(w, u, n_iter=3)
+    wb_f, u_f = spectral_normalize_fused(w, u, n_iter=3, interpret=True)
+    np.testing.assert_allclose(np.asarray(wb_f), np.asarray(wb_x),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(u_f), np.asarray(u_x), atol=1e-5)
+
+
+def test_sn_fused_converges_to_unit_sigma():
+    w = jax.random.normal(jax.random.PRNGKey(3), (64, 32))
+    u = jnp.ones((32,)) / jnp.sqrt(32.0)
+    wb, _ = spectral_normalize_fused(w, u, n_iter=30, interpret=True)
+    np.testing.assert_allclose(float(exact_sigma(wb)), 1.0, rtol=1e-3)
+
+
+def test_sn_fused_gradient_matches_xla_path():
+    w = jax.random.normal(jax.random.PRNGKey(4), (12, 8))
+    u = jnp.ones((8,)) / jnp.sqrt(8.0)
+    t = jax.random.normal(jax.random.PRNGKey(5), (12, 8))
+
+    def loss_f(w):
+        wb, _ = spectral_normalize_fused(w, u, n_iter=20, interpret=True)
+        return jnp.sum(wb * t)
+
+    def loss_x(w):
+        wb, _ = spectral_normalize_xla(w, u, n_iter=20)
+        return jnp.sum(wb * t)
+
+    gf = jax.grad(loss_f)(w)
+    gx = jax.grad(loss_x)(w)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_sn_backend_switch_round_trip():
+    from sagan_tpu.ops import spectral
+
+    w = jax.random.normal(jax.random.PRNGKey(6), (10, 6))
+    u = jnp.ones((6,)) / jnp.sqrt(6.0)
+    try:
+        spectral.use_pallas_sn(False)
+        a, _ = spectral.spectral_normalize(w, u)
+    finally:
+        spectral.use_pallas_sn(False)
+    b, _ = spectral_normalize_xla(w, u)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
