@@ -66,6 +66,7 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh):
     gloss_fn, dloss_fn = get_loss(config.get("loss", "hinge_loss"))
     ema_decay = config.get("g_ema_decay", 0.0)
     fuse_d = config.get("fuse_d_batches", True)
+    summary_var = config.get("summary_var", True)
     if "use_pallas_sn" in config:
         from ..ops.spectral import use_pallas_sn
         use_pallas_sn(config["use_pallas_sn"])
@@ -164,6 +165,11 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh):
             "G_grad_norm": optax.global_norm(grads_g),
             "D_grad_norm": d_grad_norm,
         }
+        if summary_var:
+            # per-variable means ride along in the step's own XLA program
+            # (a separate jit dispatch costs ~30 ms over a tunneled device)
+            metrics["G_var_means"] = jnp.stack(
+                [jnp.mean(x) for x in jax.tree.leaves(vars_g["params"])])
         new_state = TrainState(vars_g, vars_d, opt_g_state, opt_d_state,
                                state.step + 1, state.rng, ema_g)
         return new_state, metrics
@@ -263,19 +269,23 @@ class Trainer:
     def global_step(self) -> int:
         return int(jax.device_get(self.state.step))
 
-    def var_summaries(self) -> dict:
+    def _var_paths(self) -> list:
+        return [
+            "/".join(str(getattr(k, "key", k)) for k in path)
+            for path, _ in jax.tree_util.tree_flatten_with_path(
+                self.state.vars_g["params"])[0]
+        ]
+
+    def var_summaries(self, means) -> dict:
         """Mean of every generator variable, keyed by its tree path —
         the reference's per-variable TensorBoard scalars
-        (sagan/main.py:154-165, 322-330)."""
-        flat = jax.tree_util.tree_flatten_with_path(
-            self.state.vars_g["params"])[0]
-        means = jax.jit(lambda leaves: [jnp.mean(x) for x in leaves])(
-            [leaf for _, leaf in flat])
-        out = {}
-        for (path, _), m in zip(flat, jax.device_get(means)):
-            name = "/".join(str(getattr(k, "key", k)) for k in path)
-            out[f"vars/G/{name}"] = float(m)
-        return out
+        (sagan/main.py:154-165, 322-330).  ``means`` is the stacked
+        ``G_var_means`` vector the train step emits alongside the losses
+        (computed in-step: an extra jit dispatch costs ~30 ms over a
+        tunneled device)."""
+        means = np.asarray(means)
+        return {f"vars/G/{name}": float(m)
+                for name, m in zip(self._var_paths(), means)}
 
     def eval_vars_g(self):
         """G variables for evaluation: EMA params when tracked (standard
@@ -322,18 +332,20 @@ class Trainer:
                                                       labels)
                 count += 1
                 if count % summary_freq == 0:
-                    m = {k: float(v) for k, v in
-                         jax.device_get(metrics).items()}
+                    fetched = dict(jax.device_get(metrics))
+                    var_means = fetched.pop("G_var_means", None)
+                    m = {k: float(v) for k, v in fetched.items()}
                     for k, v in m.items():
                         running[k] = running.get(k, 0.0) + v
                     running["_n"] = running.get("_n", 0) + 1
                     if self.writer:
+                        step_now = self.global_step()
                         self.writer.scalars(
                             {f"step/{k}": v for k, v in m.items()},
-                            self.global_step())
-                        if config.get("summary_var", True):
-                            self.writer.scalars(self.var_summaries(),
-                                                self.global_step())
+                            step_now)
+                        if var_means is not None:
+                            self.writer.scalars(
+                                self.var_summaries(var_means), step_now)
                         self.writer.flush()
 
             if profiling:
@@ -346,7 +358,9 @@ class Trainer:
 
             step = self.global_step()
             epoch_time = time.time() - t0
-            m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            fetched = dict(jax.device_get(metrics))
+            fetched.pop("G_var_means", None)
+            m = {k: float(v) for k, v in fetched.items()}
             if self.writer:
                 self.writer.scalars(
                     {"generator_loss": m["G_loss"],
