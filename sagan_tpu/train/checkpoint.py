@@ -37,10 +37,16 @@ class CheckpointManager:
         latest = self.mgr.latest_step()
         if latest is None:
             return None
-        target = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
-            if hasattr(x, "shape") else x,
-            abstract_state)
+
+        def _abstract(x):
+            if isinstance(x, jax.Array):
+                return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                            sharding=x.sharding)
+            if hasattr(x, "shape"):
+                return jax.ShapeDtypeStruct(x.shape, x.dtype)
+            return x
+
+        target = jax.tree.map(_abstract, abstract_state)
         return self.mgr.restore(
             latest, args=self._ocp.args.StandardRestore(target))
 
