@@ -304,6 +304,19 @@ class Trainer:
     def _epoch_of(self, step: int) -> int:
         return step // max(1, self.steps_per_epoch)
 
+    def _device_batches(self, epoch: int):
+        """Iterate device-resident sharded batches one transfer ahead:
+        batch N+1's host→HBM copy is enqueued while step N computes
+        (device_put is async), hiding transfer latency behind the step."""
+        pending = None
+        for host_batch in self.ds_train.epoch(epoch):
+            ready = pending
+            pending = shard_batch(self.mesh, *host_batch)
+            if ready is not None:
+                yield ready
+        if pending is not None:
+            yield pending
+
     # -- main loop (sagan/main.py:238-297) ---------------------------------
     def train(self, num_epochs: int | None = None):
         config = self.config
@@ -318,7 +331,7 @@ class Trainer:
             t0 = time.time()
             running = {}
             count = 0
-            for images, labels in self.ds_train.epoch(epoch):
+            for images, labels in self._device_batches(epoch):
                 if self._profile_dir and epoch == start_epoch:
                     # trace steps [10, 20) of the first epoch (post-warmup)
                     if count == 10 and not profiling:
@@ -327,7 +340,6 @@ class Trainer:
                     elif count == 20 and profiling:
                         jax.profiler.stop_trace()
                         profiling = False
-                images, labels = shard_batch(self.mesh, images, labels)
                 self.state, metrics = self.train_step(self.state, images,
                                                       labels)
                 count += 1
