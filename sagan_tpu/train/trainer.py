@@ -325,6 +325,11 @@ class Trainer:
         img_dir = config.get("img_dir")
         fid_freq = config.get("fid_epoch_freq", 0)
         start_epoch = self._epoch_of(self.global_step())
+        if start_epoch >= num_epochs:
+            print(f"training already complete "
+                  f"(step {self.global_step()}, epoch {start_epoch}/"
+                  f"{num_epochs})", flush=True)
+            return
 
         profiling = False
         for epoch in range(start_epoch, num_epochs):
