@@ -67,7 +67,8 @@ def _gather_flat(path: str):
 
 
 def convert(path: str, dataset: str, img_size: int, n_class: int,
-            out_dir: str | None = None, seed: int = 0) -> int:
+            out_dir: str | None = None, seed: int = 0,
+            num_shards: int = 1) -> int:
     from PIL import Image
 
     if dataset == "imagenet":
@@ -87,8 +88,14 @@ def convert(path: str, dataset: str, img_size: int, n_class: int,
     from .tfrecord import TFRecordWriter, encode_example
 
     os.makedirs(out_dir, exist_ok=True)
+    if num_shards <= 1:
+        writers = [TFRecordWriter(os.path.join(out_dir, "data.tfrecords"))]
+    else:
+        writers = [TFRecordWriter(os.path.join(
+            out_dir, f"data-{i:05d}-of-{num_shards:05d}.tfrecords"))
+            for i in range(num_shards)]
     n = 0
-    with TFRecordWriter(os.path.join(out_dir, "data.tfrecords")) as w:
+    try:
         for f, label in files:
             try:
                 with Image.open(f) as im:
@@ -96,11 +103,15 @@ def convert(path: str, dataset: str, img_size: int, n_class: int,
             except Exception as e:  # unreadable file: skip (cv2-None analog)
                 print(f"skip {f}: {e}")
                 continue
-            w.write(encode_example({"image_raw": img.tobytes(),
-                                    "label": [int(label)]}))
+            writers[n % len(writers)].write(
+                encode_example({"image_raw": img.tobytes(),
+                                "label": [int(label)]}))
             n += 1
             if n % 1000 == 0:
                 print(f"{n} records\r", end="", flush=True)
+    finally:
+        for w in writers:
+            w.close()
     with open(os.path.join(out_dir, "metadata.pickle"), "wb") as f:
         pickle.dump({"img_size": img_size, "num_classes": num_classes,
                      "num_records": n}, f)
@@ -116,9 +127,10 @@ def main(argv=None):
     ap.add_argument("--img_size", type=int, default=128)
     ap.add_argument("--n_class", type=int, default=-1)
     ap.add_argument("--out_dir", default=None)
+    ap.add_argument("--num_shards", type=int, default=1)
     args = ap.parse_args(argv)
     convert(args.path, args.dataset, args.img_size, args.n_class,
-            args.out_dir)
+            args.out_dir, num_shards=args.num_shards)
 
 
 if __name__ == "__main__":

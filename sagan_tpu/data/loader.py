@@ -52,13 +52,14 @@ class ImageDataset:
                  data_size: int = -1, shuffle_buffer: int = SHUFFLE_BUFFER,
                  seed: int = 0, process_index: int = 0,
                  process_count: int = 1, prefetch_depth: int = 2,
-                 use_native: bool | None = None):
+                 use_native: bool | None = None, num_workers: int = 4):
         self.files = _find_files(data_path)
         self.meta = load_metadata(data_path)
         if use_native is None:
             from . import native
             use_native = native.available()
         self.use_native = use_native
+        self.num_workers = max(1, num_workers)
         self.img_size = int(self.meta["img_size"])
         self.num_classes = int(self.meta["num_classes"])
         self.num_records = int(self.meta["num_records"])
@@ -77,16 +78,80 @@ class ImageDataset:
 
     # -- decoded item stream -----------------------------------------------
     def _items(self) -> Iterator[tuple]:
-        """Yield (uint8 [S,S,3] image, int label), sharded + truncated."""
-        idx = 0
+        """Yield (uint8 [S,S,3] image, int label), sharded + truncated.
+
+        Host sharding: by file when there are at least ``process_count``
+        shard files (each host owns a disjoint file subset and can read
+        its shard with parallel workers); otherwise by global record
+        index stride (exact, but inherently sequential)."""
         limit = self.data_size if self.data_size not in (-1, None) else None
-        for path in self.files:
-            for img, label in self._file_items(path):
-                if limit is not None and idx >= limit:
+        shard_by_file = (self.process_count == 1
+                         or len(self.files) >= self.process_count)
+        if shard_by_file:
+            files = self.files[self.process_index::self.process_count]
+            if limit is not None:
+                # per-host share of the global take(data_size)
+                limit = limit // self.process_count
+            produced = 0
+            for img, label in self._multi_file_items(files):
+                if limit is not None and produced >= limit:
                     return
-                if idx % self.process_count == self.process_index:
-                    yield img, label
-                idx += 1
+                yield img, label
+                produced += 1
+        else:
+            idx = 0
+            for path in self.files:
+                for img, label in self._file_items(path):
+                    if limit is not None and idx >= limit:
+                        return
+                    if idx % self.process_count == self.process_index:
+                        yield img, label
+                    idx += 1
+
+    def _multi_file_items(self, files: list) -> Iterator[tuple]:
+        """Read ``files`` with up to ``num_workers`` threads, merging
+        decoded items through a bounded queue.  Merge order is
+        nondeterministic across workers — fine under the shuffle buffer."""
+        workers = min(self.num_workers, len(files))
+        if workers <= 1:
+            for path in files:
+                yield from self._file_items(path)
+            return
+
+        import queue as _q
+        q: _q.Queue = _q.Queue(maxsize=workers * 256)
+        _END = object()
+        file_iter = iter(files)
+        lock = threading.Lock()
+        errors: list = []
+
+        def run():
+            try:
+                while True:
+                    with lock:
+                        path = next(file_iter, None)
+                    if path is None:
+                        return
+                    for item in self._file_items(path):
+                        q.put(item)
+            except Exception as e:  # surface reader errors to the consumer
+                errors.append(e)
+            finally:
+                q.put(_END)
+
+        threads = [threading.Thread(target=run, daemon=True)
+                   for _ in range(workers)]
+        for t in threads:
+            t.start()
+        done = 0
+        while done < workers:
+            item = q.get()
+            if item is _END:
+                done += 1
+                continue
+            yield item
+        if errors:
+            raise errors[0]
 
     def _file_items(self, path: str) -> Iterator[tuple]:
         if self.use_native:
@@ -193,6 +258,7 @@ def get_dataset_and_info(config: dict):
             seed=config.get("data_seed", 0),
             process_index=process_index,
             process_count=process_count,
+            num_workers=config.get("data_workers", 4),
         )
     config.update(ds.meta)
     return ds, config

@@ -35,10 +35,12 @@ def synthetic_images(num: int, img_size: int, num_classes: int, seed: int = 0):
 
 
 def make_synthetic_dataset(directory: str, num: int = 256, img_size: int = 32,
-                           num_classes: int = 4, seed: int = 0) -> str:
+                           num_classes: int = 4, seed: int = 0,
+                           num_shards: int = 1) -> str:
     pairs = list(synthetic_images(num, img_size, num_classes, seed))
     write_image_dataset(directory, (p[0] for p in pairs),
-                        (p[1] for p in pairs), img_size, num_classes)
+                        (p[1] for p in pairs), img_size, num_classes,
+                        num_shards=num_shards)
     return directory
 
 
@@ -51,9 +53,10 @@ def main(argv=None):
     ap.add_argument("--img_size", type=int, default=32)
     ap.add_argument("--num_classes", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--num_shards", type=int, default=1)
     args = ap.parse_args(argv)
     make_synthetic_dataset(args.directory, args.num, args.img_size,
-                           args.num_classes, args.seed)
+                           args.num_classes, args.seed, args.num_shards)
     print(f"wrote {args.num} records to {args.directory}")
 
 

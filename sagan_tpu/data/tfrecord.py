@@ -290,21 +290,38 @@ def read_records(path: str, verify: bool = False) -> Iterator[bytes]:
 def write_image_dataset(directory: str, images: Iterable[np.ndarray],
                         labels: Iterable[int], img_size: int,
                         num_classes: int,
-                        filename: str = "data.tfrecords") -> int:
+                        filename: str = "data.tfrecords",
+                        num_shards: int = 1) -> int:
     """Write images (uint8 HWC) + labels in the reference's format, plus
     metadata.pickle (/root/reference/sagan/utils/
-    convert_dataset_to_tfrecords.py:82-115)."""
+    convert_dataset_to_tfrecords.py:82-115).
+
+    ``num_shards > 1`` splits output into ``data-0000i-of-0000N.tfrecords``
+    files (round-robin) so loaders can shard by file across hosts and
+    read with parallel workers."""
     os.makedirs(directory, exist_ok=True)
+    if num_shards <= 1:
+        writers = [TFRecordWriter(os.path.join(directory, filename))]
+    else:
+        stem = filename.replace(".tfrecords", "")
+        writers = [
+            TFRecordWriter(os.path.join(
+                directory, f"{stem}-{i:05d}-of-{num_shards:05d}.tfrecords"))
+            for i in range(num_shards)
+        ]
     n = 0
-    with TFRecordWriter(os.path.join(directory, filename)) as w:
+    try:
         for img, label in zip(images, labels):
             img = np.ascontiguousarray(img, dtype=np.uint8)
             assert img.shape == (img_size, img_size, 3), img.shape
-            w.write(encode_example({
+            writers[n % len(writers)].write(encode_example({
                 "image_raw": img.tobytes(),
                 "label": [int(label)],
             }))
             n += 1
+    finally:
+        for w in writers:
+            w.close()
     meta = {"img_size": img_size, "num_classes": num_classes,
             "num_records": n}
     with open(os.path.join(directory, "metadata.pickle"), "wb") as f:
