@@ -23,6 +23,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from sagan_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -52,16 +56,25 @@ def build(config):
     rng = np.random.default_rng(0)
     b = config["global_batch_size"]
     s = config["img_size"]
+    k = config.get("steps_per_call", 1)
     images = rng.integers(0, 255, (b, s, s, 3), dtype=np.uint8)
     labels = rng.integers(0, max(1, config.get("num_classes", 1)), (b,),
                           dtype=np.int32)
-    images, labels = shard_batch(mesh, images, labels)
+    if k > 1:
+        from sagan_tpu.parallel.mesh import stacked_batch_sharding
+        sh = stacked_batch_sharding(mesh)
+        images = jax.device_put(np.stack([images] * k), sh)
+        labels = jax.device_put(np.stack([labels] * k), sh)
+    else:
+        images, labels = shard_batch(mesh, images, labels)
     return step, state, images, labels
 
 
 def measure(step, state, images, labels, warmup=5, iters=30, reps=3):
     """Best-of-``reps`` steady-state steps/sec (the tunneled chip's
-    throughput is noisy run-to-run; max is the least-contended sample)."""
+    throughput is noisy run-to-run; max is the least-contended sample).
+    Stacked [K, B, ...] batches count as K steps per call."""
+    k = images.shape[0] if images.ndim == 5 else 1
     for _ in range(warmup):
         state, metrics = step(state, images, labels)
     jax.block_until_ready(metrics)
@@ -72,7 +85,7 @@ def measure(step, state, images, labels, warmup=5, iters=30, reps=3):
             state, metrics = step(state, images, labels)
         jax.block_until_ready(metrics)
         dt = time.perf_counter() - t0
-        best = max(best, iters / dt)
+        best = max(best, iters * k / dt)
     return best  # steps/sec
 
 
@@ -98,15 +111,20 @@ def main():
         "global_batch_size": 64,
     }
 
-    optimized = dict(base, compute_dtype="bfloat16", use_pallas=None)
+    optimized = dict(base, compute_dtype="bfloat16", use_pallas=None,
+                     steps_per_call=8)
     naive = dict(base, compute_dtype="float32", use_pallas=False,
                  fuse_d_batches=False)
 
-    steps_per_sec = measure(*build(optimized))
-    imgs_per_sec = steps_per_sec * base["global_batch_size"]
-
-    naive_steps = measure(*build(naive))
-    naive_imgs = naive_steps * base["global_batch_size"]
+    opt_h = build(optimized)
+    naive_h = build(naive)
+    # interleave reps so chip-throughput drift hits both variants equally
+    best_opt = best_naive = 0.0
+    for _ in range(3):
+        best_opt = max(best_opt, measure(*opt_h, reps=1))
+        best_naive = max(best_naive, measure(*naive_h, reps=1))
+    imgs_per_sec = best_opt * base["global_batch_size"]
+    naive_imgs = best_naive * base["global_batch_size"]
 
     print(json.dumps({
         "metric": "sagan_church64_train_imgs_per_sec_per_chip",

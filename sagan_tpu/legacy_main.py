@@ -71,6 +71,9 @@ def main(argv=None):
     config = build_config(args)
     pprint(config)
 
+    from .utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from .train.trainer import Trainer
     from .utils.config import resolve_config
 

@@ -9,6 +9,9 @@ from __future__ import annotations
 
 
 def main(argv=None):
+    from .utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from .train.trainer import Trainer
     from .utils.config import get_parameters, load_config_file, resolve_config
 

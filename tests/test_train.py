@@ -198,3 +198,43 @@ def test_dryrun_multichip_large_meshes():
     """Pod-scale sharding compiles and executes (32-wide virtual mesh)."""
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_steps_per_call_matches_sequential_steps(data16):
+    """One K=2 scanned call must produce the same state as two K=1
+    calls on the same two batches (per-step RNG folds on the scanned
+    step counter)."""
+    cfg1 = tiny_config(data16, num_devices=2)
+    cfg2 = tiny_config(data16, num_devices=2, steps_per_call=2)
+    tr1, tr2 = Trainer(cfg1), Trainer(cfg2)
+
+    batches = []
+    it = tr1.ds_train.epoch(0)
+    for _ in range(2):
+        batches.append(next(it))
+
+    from sagan_tpu.parallel.mesh import shard_batch, stacked_batch_sharding
+    s1 = tr1.state
+    for images, labels in batches:
+        s1, m1 = tr1.train_step(s1, *shard_batch(tr1.mesh, images, labels))
+
+    sh = stacked_batch_sharding(tr2.mesh)
+    imgs_k = jax.device_put(np.stack([b[0] for b in batches]), sh)
+    lbls_k = jax.device_put(np.stack([b[1] for b in batches]), sh)
+    s2, m2 = tr2.train_step(tr2.state, imgs_k, lbls_k)
+
+    assert int(jax.device_get(s1.step)) == int(jax.device_get(s2.step)) == 2
+    np.testing.assert_allclose(float(m1["G_loss"]), float(m2["G_loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.vars_g["params"]),
+                    jax.tree.leaves(s2.vars_g["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_trainer_runs_with_steps_per_call(data16, tmp_path):
+    cfg = tiny_config(data16, num_devices=2, steps_per_call=4, epoch=1,
+                      img_dir=str(tmp_path / "imgs"))
+    tr = Trainer(cfg)
+    tr.train()
+    assert tr.global_step() == tr.steps_per_epoch
+    assert tr.steps_per_epoch % 4 == 0
