@@ -29,6 +29,7 @@ config = {
     "epoch": 100,
     "update_ratio": 1,
     "compute_dtype": "bfloat16",
+    "steps_per_call": 8,
 
     # eval & output
     "num_sample": 16,

@@ -25,6 +25,7 @@ config = {
     "epoch": 100,
     "update_ratio": 2,
     "compute_dtype": "bfloat16",
+    "steps_per_call": 4,
     "num_sample": 16,
     "summary_step_freq": 100,
     "fid_epoch_freq": 5,

@@ -24,6 +24,7 @@ config = {
     "epoch": 10,
     "update_ratio": 1,
     "compute_dtype": "bfloat16",
+    "steps_per_call": 4,
     "num_sample": 16,
     "summary_step_freq": 10,
     "log_dir": "logs/{}".format(output_name),

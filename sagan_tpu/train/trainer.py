@@ -244,6 +244,9 @@ class Trainer:
                 f"steps_per_call/batch_size or add data")
         print("total steps:", self.steps_per_epoch * config["epoch"])
 
+        if "sn_iters" in config:
+            from ..nn.layers import set_default_sn_iters
+            set_default_sn_iters(config["sn_iters"])
         self.generator = get_generator(config)
         self.discriminator = get_discriminator(config)
 
@@ -375,6 +378,27 @@ class Trainer:
         if pending is not None:
             yield pending
 
+    def _install_preemption_handler(self):
+        """Save-and-exit on SIGTERM/SIGINT — preemption-safe training,
+        a failure-handling subsystem the reference lacks entirely
+        (SURVEY.md §5 'Failure detection: none')."""
+        import signal
+
+        self._preempted = False
+
+        def handler(signum, _frame):
+            print(f"received signal {signum}: will checkpoint and stop "
+                  f"after the current step", flush=True)
+            self._preempted = True
+
+        previous = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                previous[sig] = signal.signal(sig, handler)
+            except ValueError:  # not the main thread
+                pass
+        return previous
+
     # -- main loop (sagan/main.py:238-297) ---------------------------------
     def train(self, num_epochs: int | None = None):
         config = self.config
@@ -391,6 +415,7 @@ class Trainer:
                   f"{num_epochs})", flush=True)
             return
 
+        previous_handlers = self._install_preemption_handler()
         profiling = False
         for epoch in range(start_epoch, num_epochs):
             t0 = time.time()
@@ -408,6 +433,14 @@ class Trainer:
                 self.state, metrics = self.train_step(self.state, images,
                                                       labels)
                 count += 1
+                if self._preempted:
+                    if self.ckpt_mgr:
+                        self.ckpt_mgr.save(self.global_step(), self.state)
+                        self.ckpt_mgr.wait()
+                    print(f"preempted at step {self.global_step()}: "
+                          f"checkpoint saved, exiting", flush=True)
+                    self._restore_handlers(previous_handlers)
+                    return
                 if count % summary_freq == 0:
                     fetched = dict(jax.device_get(metrics))
                     var_means = fetched.pop("G_var_means", None)
@@ -482,6 +515,14 @@ class Trainer:
 
         if self.ckpt_mgr:
             self.ckpt_mgr.wait()
+        self._restore_handlers(previous_handlers)
+
+    @staticmethod
+    def _restore_handlers(previous: dict) -> None:
+        import signal
+
+        for sig, h in previous.items():
+            signal.signal(sig, h)
 
 
 def main(config: dict):

