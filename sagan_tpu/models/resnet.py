@@ -39,7 +39,8 @@ def relu(x):
 
 
 class ResUpBlock(Module):
-    def __init__(self, cin, cout, num_classes=0, dtype=jnp.float32):
+    def __init__(self, cin, cout, num_classes=0, dtype=jnp.float32,
+                 sn_iters=1):
         super().__init__()
         self.cond = num_classes > 0
         self.dtype = dtype
@@ -50,11 +51,12 @@ class ResUpBlock(Module):
 
         self.bn1 = _bn(cin)
         self.convt1 = ConvTranspose(cin, cout, kernel=3, stride=2, sn=True,
-                                    dtype=dtype)
+                                    sn_iters=sn_iters, dtype=dtype)
         self.bn2 = _bn(cout)
-        self.conv2 = Conv(cout, cout, kernel=3, stride=1, sn=True, dtype=dtype)
+        self.conv2 = Conv(cout, cout, kernel=3, stride=1, sn=True,
+                          sn_iters=sn_iters, dtype=dtype)
         self.convt_sc = ConvTranspose(cin, cout, kernel=3, stride=2, sn=True,
-                                      dtype=dtype)
+                                      sn_iters=sn_iters, dtype=dtype)
 
     def forward(self, cx: Ctx, x, labels=None):
         bn = (lambda m, h: cx.call(m, h, labels)) if self.cond else \
@@ -72,15 +74,17 @@ class ResDownBlock(Module):
     (/root/reference/models/discriminator.py:20-37, with the A.7
     branch-clobbering typo fixed)."""
 
-    def __init__(self, cin, cout, downsample=True, dtype=jnp.float32):
+    def __init__(self, cin, cout, downsample=True, dtype=jnp.float32,
+                 sn_iters=1):
         super().__init__()
         self.dtype = dtype
         stride = 2 if downsample else 1
-        self.conv1 = Conv(cin, cout, kernel=3, stride=1, sn=True, dtype=dtype)
+        self.conv1 = Conv(cin, cout, kernel=3, stride=1, sn=True,
+                          sn_iters=sn_iters, dtype=dtype)
         self.conv2 = Conv(cout, cout, kernel=3, stride=stride, sn=True,
-                          dtype=dtype)
+                          sn_iters=sn_iters, dtype=dtype)
         self.conv_sc = Conv(cin, cout, kernel=3, stride=stride, sn=True,
-                            dtype=dtype)
+                            sn_iters=sn_iters, dtype=dtype)
 
     def forward(self, cx: Ctx, x):
         h = cx.call(self.conv1, relu(x))
@@ -93,12 +97,15 @@ class OptimizedBlock(Module):
     """First D block, no pre-activation on the raw image
     (/root/reference/models/discriminator.py:6-18)."""
 
-    def __init__(self, cin, cout, dtype=jnp.float32):
+    def __init__(self, cin, cout, dtype=jnp.float32, sn_iters=1):
         super().__init__()
         self.dtype = dtype
-        self.conv1 = Conv(cin, cout, kernel=3, stride=1, sn=True, dtype=dtype)
-        self.conv2 = Conv(cout, cout, kernel=3, stride=2, sn=True, dtype=dtype)
-        self.conv_sc = Conv(cin, cout, kernel=3, stride=2, sn=True, dtype=dtype)
+        self.conv1 = Conv(cin, cout, kernel=3, stride=1, sn=True,
+                          sn_iters=sn_iters, dtype=dtype)
+        self.conv2 = Conv(cout, cout, kernel=3, stride=2, sn=True,
+                          sn_iters=sn_iters, dtype=dtype)
+        self.conv_sc = Conv(cin, cout, kernel=3, stride=2, sn=True,
+                            sn_iters=sn_iters, dtype=dtype)
 
     def forward(self, cx: Ctx, x):
         h = cx.call(self.conv1, x)
@@ -117,29 +124,33 @@ class ResGenerator(Module):
         self.use_cond_bn = c.get("use_cond_bn", False) and self.use_label
         self.dtype = jnp.dtype(c.get("compute_dtype", "float32"))
         gf = c["gf_dim"]
+        sn_iters = c.get("sn_iters", 1)
         power = _power(c["img_size"])
         attn_at = set(c.get("attn_dim_G", [])) if c.get("use_attention") else set()
         ncls = self.num_classes if self.use_cond_bn else 0
 
         in_dim = self.z_dim + (self.num_classes if self.use_label else 0)
         self.gf0 = gf * 2 ** (power - 1)
-        self.stem = Dense(in_dim, 4 * 4 * self.gf0, sn=True, dtype=self.dtype)
+        self.stem = Dense(in_dim, 4 * 4 * self.gf0, sn=True,
+                          sn_iters=sn_iters, dtype=self.dtype)
 
         self.blocks = []
         cin, side = self.gf0, 4
         for i in range(power):
             cout = gf * 2 ** (power - 1 - i)
             side *= 2
-            blk = self.add(f"up{side}", ResUpBlock(cin, cout, ncls, self.dtype))
+            blk = self.add(f"up{side}", ResUpBlock(cin, cout, ncls,
+                                                   self.dtype, sn_iters))
             attn = None
             if side in attn_at:
-                attn = self.add(f"attn{side}", SelfAttention(cout,
-                                                             dtype=self.dtype))
+                attn = self.add(f"attn{side}", SelfAttention(
+                    cout, sn_iters=sn_iters, dtype=self.dtype))
             self.blocks.append((blk, attn))
             cin = cout
 
         self.bn_out = BatchNorm(cin, dtype=self.dtype)
-        self.to_rgb = Conv(cin, 3, kernel=3, stride=1, sn=True, dtype=self.dtype)
+        self.to_rgb = Conv(cin, 3, kernel=3, stride=1, sn=True,
+                           sn_iters=sn_iters, dtype=self.dtype)
 
     def forward(self, cx: Ctx, z, labels=None):
         x = z.astype(self.dtype)
@@ -165,35 +176,41 @@ class ResDiscriminator(Module):
         self.num_classes = c.get("num_classes", 1)
         self.dtype = jnp.dtype(c.get("compute_dtype", "float32"))
         df = c["df_dim"]
+        sn_iters = c.get("sn_iters", 1)
+        self._sn_iters = sn_iters
         power = _power(c["img_size"])
         attn_at = set(c.get("attn_dim_D", [])) if c.get("use_attention") else set()
 
         self.blocks = []
         side = c["img_size"] // 2
-        stem = self.add(f"down{side}", OptimizedBlock(3, df, self.dtype))
+        stem = self.add(f"down{side}", OptimizedBlock(3, df, self.dtype,
+                                                      sn_iters))
         self.blocks.append((stem, self._attn(side, df, attn_at)))
         cin = df
         for i in range(1, power):
             cout = df * 2 ** i
             side //= 2
-            blk = self.add(f"down{side}", ResDownBlock(cin, cout,
-                                                       dtype=self.dtype))
+            blk = self.add(f"down{side}", ResDownBlock(
+                cin, cout, dtype=self.dtype, sn_iters=sn_iters))
             self.blocks.append((blk, self._attn(side, cout, attn_at)))
             cin = cout
-        self.final = ResDownBlock(cin, cin, downsample=False, dtype=self.dtype)
+        self.final = ResDownBlock(cin, cin, downsample=False,
+                                  dtype=self.dtype, sn_iters=sn_iters)
 
         self.feat_dim = cin
         if self.use_label:
-            self.head = Dense(cin, 1, sn=True, dtype=self.dtype)
+            self.head = Dense(cin, 1, sn=True, sn_iters=sn_iters,
+                              dtype=self.dtype)
             self.embed = Embedding(self.num_classes, cin, sn=True,
-                                   dtype=self.dtype)
+                                   sn_iters=sn_iters, dtype=self.dtype)
         else:
             self.head_conv = Conv(cin, 1, kernel=4, stride=1, sn=True,
-                                  dtype=self.dtype)
+                                  sn_iters=sn_iters, dtype=self.dtype)
 
     def _attn(self, side, ch, attn_at):
         if side in attn_at:
-            return self.add(f"attn{side}", SelfAttention(ch, dtype=self.dtype))
+            return self.add(f"attn{side}", SelfAttention(
+                ch, sn_iters=self._sn_iters, dtype=self.dtype))
         return None
 
     def forward(self, cx: Ctx, img, labels=None):

@@ -57,12 +57,14 @@ class Generator(Module):
         self.use_cond_bn = c.get("use_cond_bn", False) and self.use_label
         self.dtype = jnp.dtype(c.get("compute_dtype", "float32"))
         gf = c["gf_dim"]
+        sn_iters = c.get("sn_iters", 1)
         power = _power(self.img_size)
         attn_at = set(c.get("attn_dim_G", [])) if c.get("use_attention") else set()
         use_pallas = c.get("use_pallas", None)
 
         in_dim = self.z_dim + (self.num_classes if self.use_label else 0)
-        self.stem = Dense(in_dim, 4 * 4 * gf * 16, sn=True, dtype=self.dtype)
+        self.stem = Dense(in_dim, 4 * 4 * gf * 16, sn=True,
+                          sn_iters=sn_iters, dtype=self.dtype)
         self.gf0 = gf * 16
 
         self.blocks = []  # list of (convT, bn, attn_or_None)
@@ -73,7 +75,7 @@ class Generator(Module):
             side *= 2
             convt = self.add(f"up{side}_conv", ConvTranspose(
                 cin, cout, kernel=4, stride=2, use_bias=False, sn=True,
-                dtype=self.dtype))
+                sn_iters=sn_iters, dtype=self.dtype))
             if self.use_cond_bn:
                 bn = self.add(f"up{side}_bn", ConditionalBatchNorm(
                     cout, self.num_classes, dtype=self.dtype))
@@ -82,7 +84,8 @@ class Generator(Module):
             attn = None
             if side in attn_at:
                 attn = self.add(f"attn{side}", SelfAttention(
-                    cout, dtype=self.dtype, use_pallas=use_pallas))
+                    cout, sn_iters=sn_iters, dtype=self.dtype,
+                    use_pallas=use_pallas))
             self.blocks.append((convt, bn, attn))
             cin = cout
 
@@ -118,6 +121,7 @@ class Discriminator(Module):
         self.num_classes = c.get("num_classes", 1)
         self.dtype = jnp.dtype(c.get("compute_dtype", "float32"))
         df = c["df_dim"]
+        sn_iters = c.get("sn_iters", 1)
         power = _power(self.img_size)
         attn_at = set(c.get("attn_dim_D", [])) if c.get("use_attention") else set()
         use_pallas = c.get("use_pallas", None)
@@ -128,22 +132,25 @@ class Discriminator(Module):
             cout = df * 2 ** p
             side //= 2
             conv = self.add(f"down{side}_conv", Conv(
-                cin, cout, kernel=4, stride=2, sn=True, dtype=self.dtype))
+                cin, cout, kernel=4, stride=2, sn=True, sn_iters=sn_iters,
+                dtype=self.dtype))
             attn = None
             if side in attn_at:
                 attn = self.add(f"attn{side}", SelfAttention(
-                    cout, dtype=self.dtype, use_pallas=use_pallas))
+                    cout, sn_iters=sn_iters, dtype=self.dtype,
+                    use_pallas=use_pallas))
             self.blocks.append((conv, attn))
             cin = cout
 
         self.feat_dim = cin
         if self.use_label:
-            self.head = Dense(cin, 1, sn=True, dtype=self.dtype)
+            self.head = Dense(cin, 1, sn=True, sn_iters=sn_iters,
+                              dtype=self.dtype)
             self.embed = Embedding(self.num_classes, cin, sn=True,
-                                   dtype=self.dtype)
+                                   sn_iters=sn_iters, dtype=self.dtype)
         else:
             self.head_conv = Conv(cin, 1, kernel=4, stride=1, sn=True,
-                                  dtype=self.dtype)
+                                  sn_iters=sn_iters, dtype=self.dtype)
 
     def forward(self, cx: Ctx, img, labels=None):
         x = img.astype(self.dtype)

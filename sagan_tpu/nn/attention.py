@@ -29,8 +29,8 @@ from .module import Ctx, Module
 
 
 class SelfAttention(Module):
-    def __init__(self, c, sn=True, downsample=True, dtype=jnp.float32,
-                 use_pallas: bool | None = None):
+    def __init__(self, c, sn=True, sn_iters=1, downsample=True,
+                 dtype=jnp.float32, use_pallas: bool | None = None):
         super().__init__()
         if c < 8:
             raise ValueError(f"attention needs >=8 channels, got {c}")
@@ -38,7 +38,7 @@ class SelfAttention(Module):
         self.downsample = downsample
         self.dtype = dtype
         self.use_pallas = use_pallas
-        kw = dict(kernel=1, stride=1, sn=sn, dtype=dtype)
+        kw = dict(kernel=1, stride=1, sn=sn, sn_iters=sn_iters, dtype=dtype)
         self.theta = Conv(c, c // 8, **kw)
         self.phi = Conv(c, c // 8, **kw)
         self.g = Conv(c, c // 2, **kw)

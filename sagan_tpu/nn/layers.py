@@ -30,18 +30,6 @@ from . import initializers as init
 from .module import Ctx, Module
 
 
-_DEFAULT_SN_ITERS = 1
-
-
-def set_default_sn_iters(n: int) -> None:
-    """Process-wide default for SN power iterations per step (the
-    reference's ``Ip`` knob, /root/reference/layers.py:12); read at layer
-    construction, so set it (e.g. from config['sn_iters']) before
-    building models."""
-    global _DEFAULT_SN_ITERS
-    _DEFAULT_SN_ITERS = max(1, int(n))
-
-
 def _maybe_sn(cx: Ctx, layer, w):
     """Apply spectral normalization to a kernel if the layer asked for it."""
     if not layer.sn:
@@ -62,12 +50,11 @@ class Dense(Module):
     /root/reference/sagan/models/generator.py:25.
     """
 
-    def __init__(self, cin, cout, use_bias=True, sn=False, sn_iters=None,
+    def __init__(self, cin, cout, use_bias=True, sn=False, sn_iters=1,
                  w_init=init.glorot_uniform, dtype=jnp.float32):
         super().__init__()
         self.cin, self.cout = cin, cout
-        self.use_bias, self.sn = use_bias, sn
-        self.sn_iters = sn_iters if sn_iters is not None else _DEFAULT_SN_ITERS
+        self.use_bias, self.sn, self.sn_iters = use_bias, sn, sn_iters
         self.dtype = dtype
         self.param_spec("w", (cin, cout), w_init)
         if use_bias:
@@ -92,13 +79,12 @@ class Conv(Module):
     """
 
     def __init__(self, cin, cout, kernel=3, stride=1, use_bias=True,
-                 sn=False, sn_iters=None, w_init=init.glorot_uniform,
+                 sn=False, sn_iters=1, w_init=init.glorot_uniform,
                  dtype=jnp.float32, padding="SAME"):
         super().__init__()
         self.cin, self.cout = cin, cout
         self.kernel, self.stride, self.padding = kernel, stride, padding
-        self.use_bias, self.sn = use_bias, sn
-        self.sn_iters = sn_iters if sn_iters is not None else _DEFAULT_SN_ITERS
+        self.use_bias, self.sn, self.sn_iters = use_bias, sn, sn_iters
         self.dtype = dtype
         self.param_spec("w", (kernel, kernel, cin, cout), w_init)
         if use_bias:
@@ -128,13 +114,12 @@ class ConvTranspose(Module):
     """
 
     def __init__(self, cin, cout, kernel=4, stride=2, use_bias=True,
-                 sn=False, sn_iters=None, w_init=init.glorot_uniform,
+                 sn=False, sn_iters=1, w_init=init.glorot_uniform,
                  dtype=jnp.float32):
         super().__init__()
         self.cin, self.cout = cin, cout
         self.kernel, self.stride = kernel, stride
-        self.use_bias, self.sn = use_bias, sn
-        self.sn_iters = sn_iters if sn_iters is not None else _DEFAULT_SN_ITERS
+        self.use_bias, self.sn, self.sn_iters = use_bias, sn, sn_iters
         self.dtype = dtype
         self.param_spec("w", (kernel, kernel, cin, cout), w_init)
         if use_bias:
@@ -166,12 +151,11 @@ class Embedding(Module):
     """Integer → vector lookup (projection-discriminator class embedding,
     /root/reference/sagan/models/discriminator.py:31)."""
 
-    def __init__(self, num_embeddings, dim, sn=False, sn_iters=None,
+    def __init__(self, num_embeddings, dim, sn=False, sn_iters=1,
                  w_init=init.uniform(0.05), dtype=jnp.float32):
         super().__init__()
         self.num_embeddings, self.dim = num_embeddings, dim
-        self.sn = sn
-        self.sn_iters = sn_iters if sn_iters is not None else _DEFAULT_SN_ITERS
+        self.sn, self.sn_iters = sn, sn_iters
         self.dtype = dtype
         self.param_spec("w", (num_embeddings, dim), w_init)
         if sn:

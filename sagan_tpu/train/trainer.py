@@ -244,9 +244,6 @@ class Trainer:
                 f"steps_per_call/batch_size or add data")
         print("total steps:", self.steps_per_epoch * config["epoch"])
 
-        if "sn_iters" in config:
-            from ..nn.layers import set_default_sn_iters
-            set_default_sn_iters(config["sn_iters"])
         self.generator = get_generator(config)
         self.discriminator = get_discriminator(config)
 
@@ -339,7 +336,7 @@ class Trainer:
     def _epoch_of(self, step: int) -> int:
         return step // max(1, self.steps_per_epoch)
 
-    def _device_batches(self, epoch: int):
+    def _device_batches(self, epoch: int, skip_calls: int = 0):
         """Iterate device-resident sharded batches one transfer ahead:
         batch N+1's host→HBM copy is enqueued while step N computes
         (device_put is async), hiding transfer latency behind the step.
@@ -367,6 +364,9 @@ class Trainer:
 
         pending = None
         for host_batch in source:
+            if skip_calls > 0:  # mid-epoch resume: host-side skip only
+                skip_calls -= 1
+                continue
             ready = pending
             if K <= 1:
                 pending = shard_batch(self.mesh, *host_batch)
@@ -386,12 +386,17 @@ class Trainer:
 
         self._preempted = False
 
+        previous = {}
+
         def handler(signum, _frame):
             print(f"received signal {signum}: will checkpoint and stop "
-                  f"after the current step", flush=True)
+                  f"after the current step (signal again to force-quit)",
+                  flush=True)
             self._preempted = True
+            # restore prior handlers so a second signal is not swallowed
+            # (e.g. Ctrl-C during a 40-300s TPU compile)
+            self._restore_handlers(previous)
 
-        previous = {}
         for sig in (signal.SIGTERM, signal.SIGINT):
             try:
                 previous[sig] = signal.signal(sig, handler)
@@ -401,13 +406,7 @@ class Trainer:
 
     # -- main loop (sagan/main.py:238-297) ---------------------------------
     def train(self, num_epochs: int | None = None):
-        config = self.config
-        num_epochs = num_epochs or config["epoch"]
-        # summary_step_freq is in steps; the loop iterates per call
-        summary_freq = max(1, config.get("summary_step_freq", 100)
-                           // self.steps_per_call)
-        img_dir = config.get("img_dir")
-        fid_freq = config.get("fid_epoch_freq", 0)
+        num_epochs = num_epochs or self.config["epoch"]
         start_epoch = self._epoch_of(self.global_step())
         if start_epoch >= num_epochs:
             print(f"training already complete "
@@ -417,11 +416,34 @@ class Trainer:
 
         previous_handlers = self._install_preemption_handler()
         profiling = False
+        try:
+            self._train_epochs(start_epoch, num_epochs, profiling)
+        finally:
+            self._restore_handlers(previous_handlers)
+
+    def _train_epochs(self, start_epoch, num_epochs, profiling):
+        config = self.config
+        # summary_step_freq is in steps; the loop iterates per call
+        summary_freq = max(1, config.get("summary_step_freq", 100)
+                           // self.steps_per_call)
+        img_dir = config.get("img_dir")
+        fid_freq = config.get("fid_epoch_freq", 0)
+        # Mid-epoch resume (preemption checkpoint): skip the calls this
+        # epoch already consumed.  The loader's shuffle is seeded by
+        # (data_seed, epoch), so replaying the host stream reproduces the
+        # exact remaining-batch schedule.
+        resume_skip = ((self.global_step() % self.steps_per_epoch)
+                       // self.steps_per_call
+                       if self.steps_per_epoch else 0)
+        if resume_skip:
+            print(f"resuming mid-epoch: skipping {resume_skip} consumed "
+                  f"calls of epoch {start_epoch}", flush=True)
         for epoch in range(start_epoch, num_epochs):
             t0 = time.time()
             running = {}
             count = 0
-            for images, labels in self._device_batches(epoch):
+            skip = resume_skip if epoch == start_epoch else 0
+            for images, labels in self._device_batches(epoch, skip):
                 if self._profile_dir and epoch == start_epoch:
                     # trace steps [10, 20) of the first epoch (post-warmup)
                     if count == 10 and not profiling:
@@ -434,12 +456,18 @@ class Trainer:
                                                       labels)
                 count += 1
                 if self._preempted:
+                    if profiling:
+                        jax.profiler.stop_trace()
+                        profiling = False
                     if self.ckpt_mgr:
                         self.ckpt_mgr.save(self.global_step(), self.state)
                         self.ckpt_mgr.wait()
-                    print(f"preempted at step {self.global_step()}: "
-                          f"checkpoint saved, exiting", flush=True)
-                    self._restore_handlers(previous_handlers)
+                        print(f"preempted at step {self.global_step()}: "
+                              f"checkpoint saved, exiting", flush=True)
+                    else:
+                        print(f"preempted at step {self.global_step()}: "
+                              f"no ckpt_dir configured, exiting without "
+                              f"saving", flush=True)
                     return
                 if count % summary_freq == 0:
                     fetched = dict(jax.device_get(metrics))
@@ -515,7 +543,6 @@ class Trainer:
 
         if self.ckpt_mgr:
             self.ckpt_mgr.wait()
-        self._restore_handlers(previous_handlers)
 
     @staticmethod
     def _restore_handlers(previous: dict) -> None:

@@ -249,20 +249,29 @@ def test_preemption_checkpoint_on_sigterm(data16, tmp_path):
     cfg = tiny_config(data16, num_devices=2, epoch=50,
                       ckpt_dir=str(tmp_path / "ckpt"))
     tr = Trainer(cfg)
+    before_term = signal.getsignal(signal.SIGTERM)
+    before_int = signal.getsignal(signal.SIGINT)
     threading.Timer(0.1, lambda: os.kill(os.getpid(), signal.SIGTERM)).start()
     tr.train()
     assert tr.ckpt_mgr.latest_step() is not None
-    assert tr.global_step() < 50 * tr.steps_per_epoch  # stopped early
-    # handlers restored
-    assert signal.getsignal(signal.SIGTERM) in (signal.SIG_DFL,
-                                                signal.default_int_handler,
-                                                None) or True
+    saved_step = tr.global_step()
+    assert 0 < saved_step < 50 * tr.steps_per_epoch  # stopped early
+    # handlers restored to what they were before train()
+    assert signal.getsignal(signal.SIGTERM) is before_term
+    assert signal.getsignal(signal.SIGINT) is before_int
+
+    # mid-epoch resume: skips the consumed calls, realigns step<->epoch
+    tr2 = Trainer(cfg)
+    assert tr2.global_step() == saved_step
 
 
 def test_sn_iters_config_changes_behavior(data16):
-    from sagan_tpu.nn.layers import set_default_sn_iters
     cfg = tiny_config(data16, num_devices=1, sn_iters=5)
     tr = Trainer(cfg)
-    # every SN layer constructed under this trainer uses 5 iterations
+    # sn_iters reaches every SN layer, including inside attention blocks
     assert tr.generator.stem.sn_iters == 5
-    set_default_sn_iters(1)  # reset for other tests
+    assert tr.generator.attn8.theta.sn_iters == 5
+    assert tr.discriminator.down8_conv.sn_iters == 5
+    # and does NOT leak into independently-built models
+    tr2 = Trainer(tiny_config(data16, num_devices=1))
+    assert tr2.generator.stem.sn_iters == 1
