@@ -27,8 +27,6 @@ import random
 
 import numpy as np
 
-from .tfrecord import write_image_dataset
-
 
 def center_crop_resize(img, img_size: int) -> np.ndarray:
     """Max-square center crop + area-style resize

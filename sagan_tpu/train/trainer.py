@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import os
 import time
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax
