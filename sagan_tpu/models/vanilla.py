@@ -61,6 +61,7 @@ class Generator(Module):
         power = _power(self.img_size)
         attn_at = set(c.get("attn_dim_G", [])) if c.get("use_attention") else set()
         use_pallas = c.get("use_pallas", None)
+        attn_ds = c.get("attn_downsample", True)
 
         in_dim = self.z_dim + (self.num_classes if self.use_label else 0)
         self.stem = Dense(in_dim, 4 * 4 * gf * 16, sn=True,
@@ -84,8 +85,8 @@ class Generator(Module):
             attn = None
             if side in attn_at:
                 attn = self.add(f"attn{side}", SelfAttention(
-                    cout, sn_iters=sn_iters, dtype=self.dtype,
-                    use_pallas=use_pallas))
+                    cout, sn_iters=sn_iters, downsample=attn_ds,
+                    dtype=self.dtype, use_pallas=use_pallas))
             self.blocks.append((convt, bn, attn))
             cin = cout
 
@@ -125,6 +126,7 @@ class Discriminator(Module):
         power = _power(self.img_size)
         attn_at = set(c.get("attn_dim_D", [])) if c.get("use_attention") else set()
         use_pallas = c.get("use_pallas", None)
+        attn_ds = c.get("attn_downsample", True)
 
         self.blocks = []
         cin, side = 3, self.img_size
@@ -137,8 +139,8 @@ class Discriminator(Module):
             attn = None
             if side in attn_at:
                 attn = self.add(f"attn{side}", SelfAttention(
-                    cout, sn_iters=sn_iters, dtype=self.dtype,
-                    use_pallas=use_pallas))
+                    cout, sn_iters=sn_iters, downsample=attn_ds,
+                    dtype=self.dtype, use_pallas=use_pallas))
             self.blocks.append((conv, attn))
             cin = cout
 

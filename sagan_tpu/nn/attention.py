@@ -31,6 +31,8 @@ from .module import Ctx, Module
 class SelfAttention(Module):
     def __init__(self, c, sn=True, sn_iters=1, downsample=True,
                  dtype=jnp.float32, use_pallas: bool | None = None):
+        """``downsample=False`` disables the 4x K/V pooling (full-token
+        keys/values — the non-downsampled non-local block variant)."""
         super().__init__()
         if c < 8:
             raise ValueError(f"attention needs >=8 channels, got {c}")

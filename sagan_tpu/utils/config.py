@@ -55,12 +55,21 @@ DEFAULTS = {
 }
 
 
+REQUIRED_KEYS = ("data_path", "batch_size", "z_dim", "gf_dim", "df_dim",
+                 "lr_g", "lr_d")
+
+
 def resolve_config(config: dict, num_local_devices: int | None = None) -> dict:
     """Fill defaults and derive global_batch_size / num_devices."""
     import jax
 
     cfg = dict(DEFAULTS)
     cfg.update(config)
+    missing = [k for k in REQUIRED_KEYS if k not in cfg]
+    if missing:
+        raise ValueError(
+            f"config is missing required keys: {missing} "
+            f"(see example_configs/church64_attn.py for the full set)")
     if num_local_devices is None:
         num_local_devices = len(jax.devices())
     width = cfg.get("num_devices")

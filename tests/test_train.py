@@ -275,3 +275,35 @@ def test_sn_iters_config_changes_behavior(data16):
     # and does NOT leak into independently-built models
     tr2 = Trainer(tiny_config(data16, num_devices=1))
     assert tr2.generator.stem.sn_iters == 1
+
+
+def test_trainer_image_folder_end_to_end(tmp_path):
+    """use_image_generator path through the full Trainer (augmenting
+    folder loader -> sharded train step)."""
+    import numpy as np
+    from PIL import Image
+
+    root = tmp_path / "imgs"
+    rng = np.random.default_rng(0)
+    for cls in ["a", "b"]:
+        (root / cls).mkdir(parents=True)
+        for i in range(20):
+            Image.fromarray(rng.integers(0, 255, (20, 20, 3),
+                                         dtype=np.uint8)).save(
+                root / cls / f"{i}.png")
+
+    cfg = tiny_config(str(root), num_devices=2, use_image_generator=True,
+                      img_size=16, use_label=True, epoch=1)
+    tr = Trainer(cfg)
+    tr.train()
+    assert tr.global_step() > 0
+    imgs = tr.sample_images()
+    assert np.all(np.isfinite(imgs))
+
+
+def test_config_missing_keys_friendly_error():
+    import pytest as _pytest
+
+    from sagan_tpu.utils.config import resolve_config
+    with _pytest.raises(ValueError, match="missing required keys"):
+        resolve_config({"batch_size": 4}, num_local_devices=1)
