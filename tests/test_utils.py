@@ -58,7 +58,8 @@ def test_make_grid_geometry():
 def test_config_file_loading(tmp_path):
     p = tmp_path / "cfg.py"
     p.write_text("name='x'\nconfig = {'batch_size': 4, 'z_dim': 8,"
-                 " 'gpu': [0, 1]}\n")
+                 " 'gpu': [0, 1], 'data_path': '/d', 'gf_dim': 8,"
+                 " 'df_dim': 8, 'lr_g': 1e-4, 'lr_d': 4e-4}\n")
     cfg = load_config_file(str(p))
     cfg = resolve_config(cfg, num_local_devices=8)
     assert cfg["num_devices"] == 2          # len(gpu)
@@ -74,7 +75,9 @@ def test_config_requires_dict(tmp_path):
 
 
 def test_config_num_devices_clamped():
-    cfg = resolve_config({"batch_size": 2, "gpu": [0, 1, 2, 3]},
-                         num_local_devices=2)
+    base = {"batch_size": 2, "gpu": [0, 1, 2, 3], "data_path": "/d",
+            "z_dim": 8, "gf_dim": 8, "df_dim": 8, "lr_g": 1e-4,
+            "lr_d": 4e-4}
+    cfg = resolve_config(base, num_local_devices=2)
     assert cfg["num_devices"] == 2
     assert cfg["global_batch_size"] == 4
