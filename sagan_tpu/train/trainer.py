@@ -75,6 +75,7 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh):
     ema_decay = config.get("g_ema_decay", 0.0)
     fuse_d = config.get("fuse_d_batches", True)
     summary_var = config.get("summary_var", True)
+    random_flip = config.get("random_flip", False)
     if "use_pallas_sn" in config:
         from ..ops.spectral import use_pallas_sn
         use_pallas_sn(config["use_pallas_sn"])
@@ -93,6 +94,14 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh):
 
         step_key = jax.random.fold_in(state.rng, state.step)
         replica_key = jax.random.fold_in(step_key, lax.axis_index(axis))
+
+        if random_flip:
+            # on-device per-sample horizontal flip (the TPU-side analog
+            # of the reference's ImageDataGenerator horizontal_flip,
+            # sagan/dataset.py:72 — available to the TFRecord path here)
+            flip = jax.random.bernoulli(
+                jax.random.fold_in(replica_key, 7), 0.5, (batch, 1, 1, 1))
+            images = jnp.where(flip, images[:, :, ::-1, :], images)
 
         vars_g, vars_d = state.vars_g, state.vars_d
         opt_g_state, opt_d_state = state.opt_g, state.opt_d

@@ -307,3 +307,16 @@ def test_config_missing_keys_friendly_error():
     from sagan_tpu.utils.config import resolve_config
     with _pytest.raises(ValueError, match="missing required keys"):
         resolve_config({"batch_size": 4}, num_local_devices=1)
+
+
+def test_random_flip_changes_dynamics_but_stays_finite(data16):
+    cfg_a = tiny_config(data16, num_devices=2, random_flip=True)
+    cfg_b = tiny_config(data16, num_devices=2, random_flip=False)
+    tra, trb = Trainer(cfg_a), Trainer(cfg_b)
+    from sagan_tpu.parallel.mesh import shard_batch
+    images, labels = next(iter(tra.ds_train.epoch(0)))
+    sa, ma = tra.train_step(tra.state, *shard_batch(tra.mesh, images, labels))
+    sb, mb = trb.train_step(trb.state, *shard_batch(trb.mesh, images, labels))
+    assert np.isfinite(float(ma["D_loss"])) and np.isfinite(float(mb["D_loss"]))
+    # flipping real images changes the D update
+    assert float(ma["D_loss"]) != float(mb["D_loss"])
