@@ -75,6 +75,9 @@ def measure(step, state, images, labels, warmup=5, iters=30, reps=3):
     throughput is noisy run-to-run; max is the least-contended sample).
     Stacked [K, B, ...] batches count as K steps per call."""
     k = images.shape[0] if images.ndim == 5 else 1
+    # the step donates its state argument: run on a private copy so the
+    # caller's handle stays valid across repeated measure() calls
+    state = jax.tree.map(jnp.copy, state)
     for _ in range(warmup):
         state, metrics = step(state, images, labels)
     jax.block_until_ready(metrics)

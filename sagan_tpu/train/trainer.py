@@ -448,7 +448,6 @@ class Trainer:
                   f"calls of epoch {start_epoch}", flush=True)
         for epoch in range(start_epoch, num_epochs):
             t0 = time.time()
-            running = {}
             count = 0
             skip = resume_skip if epoch == start_epoch else 0
             for images, labels in self._device_batches(epoch, skip):
@@ -481,9 +480,6 @@ class Trainer:
                     fetched = dict(jax.device_get(metrics))
                     var_means = fetched.pop("G_var_means", None)
                     m = {k: float(v) for k, v in fetched.items()}
-                    for k, v in m.items():
-                        running[k] = running.get(k, 0.0) + v
-                    running["_n"] = running.get("_n", 0) + 1
                     if self.writer:
                         step_now = self.global_step()
                         self.writer.scalars(
