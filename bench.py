@@ -1,17 +1,33 @@
 """Benchmark: SAGAN train-step throughput on the local accelerator.
 
-Measures steady-state imgs/sec of the full church64 training step (D + G
-updates, spectral norm, attention, cross-replica-ready BN) on
-device-resident data — the hot path ranked in SURVEY.md §3.2.
+Measures steady-state imgs/sec of the full training step (D + G updates,
+spectral norm, attention, cross-replica-ready BN) on device-resident
+data — the hot path ranked in SURVEY.md §3.2 (the reference's
+update-ratio D loop + G update, /root/reference/sagan/main.py:175-205).
+
+Two configs are measured:
+  * church64  — the headline LSUN-church 64px vanilla config
+    (example_configs/church64_attn.py scale);
+  * imagenet128_cond — the north-star 128px conditional ResNet config
+    (cond-BN + projection D, update_ratio 2).
+
+The benchmark is self-accounting: for each config it reports the
+XLA-counted FLOPs of the compiled step (``compile().cost_analysis()``),
+ms/step, sustained TFLOP/s, the detected chip kind, and MFU against that
+chip's bf16 peak — so the headline number can be sanity-checked against
+hardware limits.
 
 ``vs_baseline`` is the speedup over a reference-style *naive* variant run
 in the same process on the same chip: fp32 compute, unfused einsum
-attention, no buffer donation — i.e. a faithful-but-unoptimized JAX
-transcription of the TF2 reference's numerics (the reference itself
-publishes no numbers to compare against; BASELINE.md).
+attention, no buffer donation, no multi-step fusion — i.e. a
+faithful-but-unoptimized JAX transcription of the TF2 reference's
+numerics.  (The reference itself publishes no numbers — BASELINE.md — and
+this environment has no GPU/TF bench; the baseline is self-authored and
+labeled as such.)
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "imgs/sec", "vs_baseline": R}
+  {"metric": ..., "value": N, "unit": "imgs/sec", "vs_baseline": R,
+   "detail": {...}}
 """
 
 from __future__ import annotations
@@ -30,6 +46,25 @@ enable_compilation_cache()
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# bf16 peak TFLOP/s per chip (public spec sheets); MFU is reported
+# against these.  Matched by substring of device_kind.
+CHIP_PEAK_BF16_TFLOPS = [
+    ("v6 lite", 918.0), ("v6e", 918.0),
+    ("v5p", 459.0),
+    ("v5 lite", 197.0), ("v5e", 197.0), ("v5litepod", 197.0),
+    ("v4", 275.0),
+    ("v3", 123.0),
+    ("v2", 46.0),
+]
+
+
+def chip_peak(device_kind: str) -> float | None:
+    kind = device_kind.lower()
+    for sub, peak in CHIP_PEAK_BF16_TFLOPS:
+        if sub in kind:
+            return peak
+    return None
 
 
 def build(config):
@@ -70,6 +105,17 @@ def build(config):
     return step, state, images, labels
 
 
+def compiled_flops(step, state, images, labels) -> float | None:
+    """XLA-counted FLOPs of one compiled call (covers all K fused steps)."""
+    try:
+        cost = step.lower(state, images, labels).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
 def measure(step, state, images, labels, warmup=5, iters=30, reps=3):
     """Best-of-``reps`` steady-state steps/sec (the tunneled chip's
     throughput is noisy run-to-run; max is the least-contended sample).
@@ -92,48 +138,123 @@ def measure(step, state, images, labels, warmup=5, iters=30, reps=3):
     return best  # steps/sec
 
 
-def main():
-    base = {
-        "model": "vanilla",
-        "z_dim": 128,
-        "gf_dim": 16,
-        "df_dim": 16,
-        "img_size": 64,
-        "use_attention": True,
-        "attn_dim_G": [32, 64],
-        "attn_dim_D": [8, 4],
-        "use_label": False,
-        "num_classes": 1,
-        "lr_g": 2e-4,
-        "lr_d": 7e-4,
-        "decay_rate": 0.99,
-        "update_ratio": 1,
-        "loss": "hinge_loss",
-        "num_devices": 1,
-        "batch_size": 64,
-        "global_batch_size": 64,
+CHURCH64 = {
+    "model": "vanilla",
+    "z_dim": 128,
+    "gf_dim": 16,
+    "df_dim": 16,
+    "img_size": 64,
+    "use_attention": True,
+    "attn_dim_G": [32, 64],
+    "attn_dim_D": [8, 4],
+    "use_label": False,
+    "num_classes": 1,
+    "lr_g": 2e-4,
+    "lr_d": 7e-4,
+    "decay_rate": 0.99,
+    "update_ratio": 1,
+    "loss": "hinge_loss",
+    "num_devices": 1,
+    "batch_size": 64,
+    "global_batch_size": 64,
+}
+
+# north-star: ImageNet-128 class-conditional ResNet SAGAN
+# (example_configs/imagenet128_cond.py scale)
+IMAGENET128 = {
+    "model": "resnet",
+    "z_dim": 128,
+    "gf_dim": 64,
+    "df_dim": 64,
+    "img_size": 128,
+    "use_attention": True,
+    "attn_dim_G": [32],
+    "attn_dim_D": [32],
+    "use_label": True,
+    "use_cond_bn": True,
+    "num_classes": 1000,
+    "lr_g": 1e-4,
+    "lr_d": 4e-4,
+    "decay_rate": 0.99,
+    "update_ratio": 2,
+    "loss": "hinge_loss",
+    "num_devices": 1,
+    "batch_size": 64,
+    "global_batch_size": 64,
+}
+
+
+def bench_config(config, name, interleave_with=None, reps=3):
+    """Measure a config; optionally interleave reps with a second handle
+    so chip-throughput drift hits both variants equally.  Returns a dict
+    of self-accounting stats (and the baseline's, when interleaved)."""
+    handles = build(config)
+    k = config.get("steps_per_call", 1)
+    flops_per_call = compiled_flops(*handles)
+
+    other = build(interleave_with) if interleave_with else None
+    best = best_other = 0.0
+    for _ in range(reps):
+        best = max(best, measure(*handles, reps=1))
+        if other is not None:
+            best_other = max(best_other, measure(*other, reps=1))
+
+    batch = config["global_batch_size"]
+    imgs_per_sec = best * batch
+    entry = {
+        "name": name,
+        "imgs_per_sec_per_chip": round(imgs_per_sec, 1),
+        "steps_per_sec": round(best, 2),
+        "ms_per_step": round(1000.0 / best, 4),
+        "global_batch": batch,
+        "steps_per_call": k,
+        "compute_dtype": config.get("compute_dtype", "float32"),
+        "update_ratio": config.get("update_ratio", 1),
     }
+    if flops_per_call:
+        tflops = flops_per_call * (best / k) / 1e12
+        entry["flops_per_call_xla"] = flops_per_call
+        entry["flops_per_img_xla"] = round(flops_per_call / (k * batch))
+        entry["tflops_per_sec"] = round(tflops, 2)
+        peak = chip_peak(jax.devices()[0].device_kind)
+        if peak:
+            entry["mfu_vs_bf16_peak"] = round(tflops / peak, 4)
+    if other is not None:
+        entry["baseline_imgs_per_sec"] = round(best_other * batch, 1)
+        entry["vs_baseline"] = round(best / best_other, 3)
+    return entry
 
-    optimized = dict(base, compute_dtype="bfloat16", use_pallas=None,
+
+def main():
+    dev = jax.devices()[0]
+    peak = chip_peak(dev.device_kind)
+
+    optimized = dict(CHURCH64, compute_dtype="bfloat16", use_pallas=None,
                      steps_per_call=8)
-    naive = dict(base, compute_dtype="float32", use_pallas=False,
+    naive = dict(CHURCH64, compute_dtype="float32", use_pallas=False,
                  fuse_d_batches=False)
+    church = bench_config(optimized, "church64", interleave_with=naive)
 
-    opt_h = build(optimized)
-    naive_h = build(naive)
-    # interleave reps so chip-throughput drift hits both variants equally
-    best_opt = best_naive = 0.0
-    for _ in range(3):
-        best_opt = max(best_opt, measure(*opt_h, reps=1))
-        best_naive = max(best_naive, measure(*naive_h, reps=1))
-    imgs_per_sec = best_opt * base["global_batch_size"]
-    naive_imgs = best_naive * base["global_batch_size"]
+    imagenet = bench_config(
+        dict(IMAGENET128, compute_dtype="bfloat16", use_pallas=None,
+             steps_per_call=4),
+        "imagenet128_cond")
 
     print(json.dumps({
         "metric": "sagan_church64_train_imgs_per_sec_per_chip",
-        "value": round(imgs_per_sec, 2),
+        "value": church["imgs_per_sec_per_chip"],
         "unit": "imgs/sec",
-        "vs_baseline": round(imgs_per_sec / naive_imgs, 3),
+        "vs_baseline": church["vs_baseline"],
+        "detail": {
+            "device_kind": dev.device_kind,
+            "platform": dev.platform,
+            "chip_bf16_peak_tflops": peak,
+            "baseline_definition": (
+                "naive fp32 unfused non-donated JAX transcription of the "
+                "TF2 reference's step, same process/chip (the reference "
+                "publishes no numbers; BASELINE.md)"),
+            "configs": [church, imagenet],
+        },
     }))
 
 

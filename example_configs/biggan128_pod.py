@@ -23,6 +23,7 @@ config = {
     "loss": "hinge_loss",
     "epoch": 100,
     "update_ratio": 2,
+    "g_ema_decay": 0.9999,   # EMA generator for eval/FID (standard GAN practice)
     "compute_dtype": "bfloat16",
     "steps_per_call": 4,
     "num_sample": 16,

@@ -109,9 +109,14 @@ class ImageDataset:
                     idx += 1
 
     def _multi_file_items(self, files: list) -> Iterator[tuple]:
-        """Read ``files`` with up to ``num_workers`` threads, merging
-        decoded items through a bounded queue.  Merge order is
-        nondeterministic across workers — fine under the shuffle buffer."""
+        """Read ``files`` with up to ``num_workers`` threads, merged by
+        **deterministic round-robin**: worker ``w`` owns
+        ``files[w::workers]`` (read in order) and the consumer pops one
+        item per live worker in fixed rotation.  Decode still runs in
+        parallel, but the merged stream is a pure function of
+        (files, workers) — so a preemption resume that replays and skips
+        the host stream (trainer._device_batches) reproduces the exact
+        remaining-batch schedule, with no record trained twice."""
         workers = min(self.num_workers, len(files))
         if workers <= 1:
             for path in files:
@@ -119,37 +124,32 @@ class ImageDataset:
             return
 
         import queue as _q
-        q: _q.Queue = _q.Queue(maxsize=workers * 256)
         _END = object()
-        file_iter = iter(files)
-        lock = threading.Lock()
+        queues = [_q.Queue(maxsize=256) for _ in range(workers)]
         errors: list = []
 
-        def run():
+        def run(w: int):
             try:
-                while True:
-                    with lock:
-                        path = next(file_iter, None)
-                    if path is None:
-                        return
+                for path in files[w::workers]:
                     for item in self._file_items(path):
-                        q.put(item)
+                        queues[w].put(item)
             except Exception as e:  # surface reader errors to the consumer
                 errors.append(e)
             finally:
-                q.put(_END)
+                queues[w].put(_END)
 
-        threads = [threading.Thread(target=run, daemon=True)
-                   for _ in range(workers)]
+        threads = [threading.Thread(target=run, args=(w,), daemon=True)
+                   for w in range(workers)]
         for t in threads:
             t.start()
-        done = 0
-        while done < workers:
-            item = q.get()
-            if item is _END:
-                done += 1
-                continue
-            yield item
+        live = list(range(workers))
+        while live:
+            for w in list(live):
+                item = queues[w].get()
+                if item is _END:
+                    live.remove(w)
+                    continue
+                yield item
         if errors:
             raise errors[0]
 

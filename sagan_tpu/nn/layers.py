@@ -37,10 +37,23 @@ def _maybe_sn(cx: Ctx, layer, w):
     from ..ops.spectral import spectral_normalize
 
     u = cx.get_aux("u")
-    w_bar, u_new = spectral_normalize(w, u, n_iter=layer.sn_iters)
+    w_bar, u_new = spectral_normalize(
+        w, u, n_iter=layer.sn_iters,
+        backend=getattr(layer, "sn_backend", "xla"),
+        interpret=getattr(layer, "sn_interpret", False))
     if cx.train:
         cx.put_aux("u", u_new)
     return w_bar
+
+
+def set_sn_backend(root, backend: str, interpret: bool = False) -> None:
+    """Route every SN-wrapped layer under ``root`` through ``backend``
+    ('xla' | 'pallas').  Per-model configuration (not a process global):
+    two models with different backends coexist and retrace independently."""
+    for m in root.iter_modules():
+        if getattr(m, "sn", False):
+            m.sn_backend = backend
+            m.sn_interpret = interpret
 
 
 class Dense(Module):

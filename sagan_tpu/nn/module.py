@@ -136,6 +136,12 @@ class Module:
     def aux_spec(self, name, shape, init, dtype=jnp.float32):
         self._aspecs[name] = _Spec(tuple(shape), dtype, init)
 
+    def iter_modules(self):
+        """Depth-first walk over this module and all descendants."""
+        yield self
+        for child in self._children.values():
+            yield from child.iter_modules()
+
     def _child_name(self, child: "Module") -> str:
         for name, c in self._children.items():
             if c is child:

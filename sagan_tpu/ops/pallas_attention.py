@@ -18,8 +18,15 @@ tile lives only in VMEM:
 
 Shapes must tile: N divisible by the query block (powers of two — always
 true for H·W feature maps), M and the channel dims are padded by Mosaic
-as needed.  ``attention_fused`` falls back to the einsum reference for
-untileable shapes.
+as needed.  The query block size is chosen so the kernel's VMEM
+footprint (dominated by the [block_n, M] fp32 probability tiles — four
+of them live simultaneously in the backward) stays under ``VMEM_BUDGET``;
+this covers every shape the model families can request, including
+non-downsampled 128px maps (N = M = 16384).  ``attention_fused`` falls
+back to the einsum reference for untileable shapes and for key sets so
+large that even an 8-row query block would not fit (M ≳ 100k, i.e.
+non-downsampled 256px maps — XLA's own tiling handles those correctly,
+just without the fusion win).
 """
 
 from __future__ import annotations
@@ -32,10 +39,23 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+VMEM_BUDGET = 12 * 1024 * 1024  # of ~16 MB/core, leaving Mosaic headroom
 
-def _pick_block(n: int) -> int:
+
+def _bwd_vmem_bytes(block_n: int, m: int, d: int, c: int) -> int:
+    """Worst-case resident bytes of the backward kernel (the larger of
+    the two passes): four fp32 [block_n, M] tiles (logits, p, dp, dlog)
+    + K/V inputs and fp32 dK/dV accumulators + q/g/dq blocks."""
+    tiles = 4 * block_n * m * 4
+    kv = 2 * m * (d + c) * 4
+    qg = 3 * block_n * (d + c) * 4
+    return tiles + kv + qg
+
+
+def _pick_block(n: int, m: int, d: int, c: int) -> int:
+    """Largest query block that divides N and fits the VMEM budget."""
     for bn in (1024, 512, 256, 128, 64, 32, 16, 8):
-        if n % bn == 0:
+        if n % bn == 0 and _bwd_vmem_bytes(bn, m, d, c) <= VMEM_BUDGET:
             return bn
     return 0
 
@@ -193,11 +213,15 @@ _attention_fused.defvjp(_attention_fwd, _attention_bwd)
 
 def attention_fused(q: jax.Array, k: jax.Array, v: jax.Array,
                     interpret: bool = False) -> jax.Array:
-    """softmax(q @ kᵀ) @ v, fused.  q:[B,N,D] k:[B,M,D] v:[B,M,C]."""
-    n = q.shape[1]
-    block_n = _pick_block(n)
+    """softmax(q @ kᵀ) @ v, fused.  q:[B,N,D] k:[B,M,D] v:[B,M,C].
+
+    Falls back to the einsum reference when N has no power-of-two block
+    divisor or when no query block keeps the kernel inside VMEM_BUDGET
+    (see module docstring)."""
+    n, d = q.shape[1], q.shape[2]
+    m, c = k.shape[1], v.shape[2]
+    block_n = _pick_block(n, m, d, c)
     if block_n == 0:
         from .attention import attention_reference
         return attention_reference(q, k, v)
-    block_n = min(block_n, 1024)
     return _attention_fused(q, k, v, block_n, interpret)

@@ -67,31 +67,29 @@ def power_iterate(w_mat: jax.Array, u: jax.Array, n_iter: int = 1):
     return sigma, u, v
 
 
-# Backend switch: when True, spectral_normalize routes through the fused
-# Pallas kernel (ops/pallas_spectral.py).  Trace-time static — set it
-# (e.g. from config['use_pallas_sn']) before building the train step.
-_PALLAS_SN = False
-
-
-def use_pallas_sn(enabled: bool) -> None:
-    global _PALLAS_SN
-    _PALLAS_SN = bool(enabled)
-
-
 def spectral_normalize(w: jax.Array, u: jax.Array, n_iter: int = 1,
-                       eps: float = 1e-12):
+                       eps: float = 1e-12, backend: str = "xla",
+                       interpret: bool = False):
     """Normalize a kernel by its leading singular value.
 
     Args:
       w: kernel of any rank; last axis = output channels.
       u: persistent power-iteration vector, shape [c_out].
+      backend: 'xla' (default) or 'pallas' (the fused VMEM-resident
+        kernel, ops/pallas_spectral.py).  A trace-time-static argument —
+        layers carry it as config (nn.layers.set_sn_backend), so two
+        models with different backends coexist in one process.
+      interpret: run the pallas backend in interpreter mode (CPU tests).
     Returns:
       (w_bar, u_new): normalized kernel (same shape/dtype as w) and the
       updated u to store back into aux state.
     """
-    if _PALLAS_SN:
+    if backend == "pallas":
         from .pallas_spectral import spectral_normalize_fused
-        return spectral_normalize_fused(w, u, n_iter=n_iter, eps=eps)
+        return spectral_normalize_fused(w, u, n_iter=n_iter, eps=eps,
+                                        interpret=interpret)
+    if backend != "xla":
+        raise ValueError(f"unknown SN backend {backend!r}")
     return spectral_normalize_xla(w, u, n_iter=n_iter, eps=eps)
 
 

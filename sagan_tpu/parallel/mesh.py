@@ -51,17 +51,36 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_with_sharding(a, sh: NamedSharding):
+    """Public alias of the multi-process-aware device_put."""
+    return _put(a, sh)
+
+
+def _put(a, sh: NamedSharding):
+    """device_put that works for multi-process (DCN) meshes too: when the
+    sharding spans processes, the host array is the *process-local* piece
+    and is assembled into the global jax.Array from every host's data."""
+    if sh.mesh.size > len([d for d in sh.mesh.devices.flat
+                           if d.process_index == jax.process_index()]):
+        return jax.make_array_from_process_local_data(sh, np.asarray(a))
+    return jax.device_put(a, sh)
+
+
 def shard_batch(mesh: Mesh, *arrays):
-    """Device-put host batches with leading-axis sharding over ``data``."""
+    """Device-put host batches with leading-axis sharding over ``data``.
+    Single-process: a straight device_put.  Multi-process: each host
+    passes its per-host batch slice (global_batch / process_count rows)
+    and the pieces form one global array."""
     sh = batch_sharding(mesh)
-    out = tuple(jax.device_put(a, sh) for a in arrays)
+    out = tuple(_put(a, sh) for a in arrays)
     return out if len(out) > 1 else out[0]
 
 
 def replicate(mesh: Mesh, tree):
-    """Device-put a pytree fully replicated across the mesh."""
+    """Device-put a pytree fully replicated across the mesh (every host
+    passes identical values in the multi-process case)."""
     sh = replicated_sharding(mesh)
-    return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
+    return jax.tree.map(lambda a: _put(a, sh), tree)
 
 
 def initialize_distributed(coordinator: str | None = None,

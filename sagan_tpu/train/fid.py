@@ -82,6 +82,7 @@ class RandomConvFeatures:
     def __init__(self, img_size: int, dim: int = 256, seed: int = 42):
         self.img_size = img_size
         self.dim = dim
+        self.cache_tag = f"random{dim}s{seed}"
         key = jax.random.PRNGKey(seed)
         chans = [3, 32, 64, 128, dim // 2]
         self.kernels = []
@@ -168,8 +169,13 @@ def compute_fid(dataset, sample_batch_fn, config, num_images: int = 5000,
                 batch_size: int = 64, seed: int = 0) -> float:
     extractor = get_extractor(config)
     name = config.get("dataset", "data")
+    # The cache key must encode the extractor identity: the reference had
+    # one fixed extractor (sagan/main.py:48-66) so its `{name}_{size}_{n}`
+    # contract was safe; with pluggable extractors a key that omits it
+    # would silently reuse proxy-feature statistics for inception FID.
     cache_file = os.path.join(
-        ".cache", f"{name}_{config['img_size']}_{num_images}.pkl")
+        ".cache",
+        f"{name}_{config['img_size']}_{num_images}_{extractor.cache_tag}.pkl")
     mu_r, s_r = real_stats(dataset, extractor, num_images, cache_file)
     mu_f, s_f = fake_stats(sample_batch_fn, extractor, num_images,
                            batch_size, jax.random.PRNGKey(seed))

@@ -234,6 +234,12 @@ class InceptionV3Features:
     def __init__(self, weights_path: str, resize_to: int = 299):
         self.params = load_weights_npz(weights_path)
         self.resize_to = resize_to
+        # cache identity: extractor kind + a fingerprint of the weights
+        # file, so FID stat caches keyed on this tag never mix weights
+        import hashlib
+        with open(weights_path, "rb") as f:
+            digest = hashlib.sha1(f.read(1 << 20)).hexdigest()[:8]
+        self.cache_tag = f"inception{resize_to}_{digest}"
 
         @jax.jit
         def fwd(params, x):

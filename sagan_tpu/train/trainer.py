@@ -76,9 +76,8 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh):
     fuse_d = config.get("fuse_d_batches", True)
     summary_var = config.get("summary_var", True)
     random_flip = config.get("random_flip", False)
-    if "use_pallas_sn" in config:
-        from ..ops.spectral import use_pallas_sn
-        use_pallas_sn(config["use_pallas_sn"])
+    # (the SN backend — XLA vs fused Pallas — is per-model config, set
+    # by the model factories via nn.layers.set_sn_backend)
     axis = DATA_AXIS
 
     def sample_latents(key, batch):
@@ -94,13 +93,16 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh):
 
         step_key = jax.random.fold_in(state.rng, state.step)
         replica_key = jax.random.fold_in(step_key, lax.axis_index(axis))
+        # Disjoint per-purpose streams: folding raw integers off one key
+        # risks collisions (a flip fold of 7 would coincide with the
+        # D-iteration-7 latents at update_ratio >= 8), so split instead.
+        flip_key, d_key, g_key = jax.random.split(replica_key, 3)
 
         if random_flip:
             # on-device per-sample horizontal flip (the TPU-side analog
             # of the reference's ImageDataGenerator horizontal_flip,
             # sagan/dataset.py:72 — available to the TFRecord path here)
-            flip = jax.random.bernoulli(
-                jax.random.fold_in(replica_key, 7), 0.5, (batch, 1, 1, 1))
+            flip = jax.random.bernoulli(flip_key, 0.5, (batch, 1, 1, 1))
             images = jnp.where(flip, images[:, :, ::-1, :], images)
 
         vars_g, vars_d = state.vars_g, state.vars_d
@@ -109,8 +111,7 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh):
         # ---- D updates (update_ratio x, sagan/main.py:175-192) ----------
         d_loss_acc = jnp.float32(0.0)
         for i in range(update_ratio):
-            z, fl = sample_latents(
-                jax.random.fold_in(replica_key, i), batch)
+            z, fl = sample_latents(jax.random.fold_in(d_key, i), batch)
             fake, aux_g = gen(vars_g, z, fl, train=True, axis=axis)
             fake = lax.stop_gradient(fake)
             vars_g = {"params": vars_g["params"], "aux": aux_g}
@@ -152,7 +153,7 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh):
         d_grad_norm = optax.global_norm(grads_d)
 
         # ---- G update (sagan/main.py:194-205) ---------------------------
-        z, fl = sample_latents(jax.random.fold_in(replica_key, 1000), batch)
+        z, fl = sample_latents(g_key, batch)
 
         def g_loss(params_g, aux_g):
             vg = {"params": params_g, "aux": aux_g}
@@ -183,10 +184,15 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh):
             "D_grad_norm": d_grad_norm,
         }
         if summary_var:
-            # per-variable means ride along in the step's own XLA program
-            # (a separate jit dispatch costs ~30 ms over a tunneled device)
+            # per-variable means + gradient norms ride along in the
+            # step's own XLA program (a separate jit dispatch costs
+            # ~30 ms over a tunneled device) — the reference's
+            # per-G-variable Mean metrics and grads_norm/{name} scalars
+            # (sagan/main.py:154-165, 277-278)
             metrics["G_var_means"] = jnp.stack(
                 [jnp.mean(x) for x in jax.tree.leaves(vars_g["params"])])
+            metrics["G_grad_norms"] = jnp.stack(
+                [jnp.linalg.norm(g) for g in jax.tree.leaves(grads_g)])
         new_state = TrainState(vars_g, vars_d, opt_g_state, opt_d_state,
                                state.step + 1, state.rng, ema_g)
         return new_state, metrics
@@ -198,7 +204,10 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh):
                 return step_fn(st, xs[0], xs[1])
 
             state, metrics_k = lax.scan(body, state, (images_k, labels_k))
-            metrics = jax.tree.map(lambda m: m[-1], metrics_k)
+            # per-call metrics = mean over the K scanned steps (the
+            # in-program analog of the reference's tf.keras.metrics.Mean
+            # accumulators, sagan/main.py:155-165)
+            metrics = jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics_k)
             return state, metrics
 
         fn, batch_spec = multi_fn, P(None, DATA_AXIS)
@@ -274,6 +283,8 @@ class Trainer:
                    if ema_decay > 0 else None),
         )
         self.state = replicate(self.mesh, state)
+        if config.get("print_variables", True):
+            self._print_variable_names()
 
         # fixed eval latents (sagan/main.py:167-168)
         num_sample = config.get("num_sample", 16)
@@ -309,12 +320,26 @@ class Trainer:
     def global_step(self) -> int:
         return int(jax.device_get(self.state.step))
 
-    def _var_paths(self) -> list:
+    @staticmethod
+    def _tree_paths(tree) -> list:
         return [
             "/".join(str(getattr(k, "key", k)) for k in path)
-            for path, _ in jax.tree_util.tree_flatten_with_path(
-                self.state.vars_g["params"])[0]
+            for path, _ in jax.tree_util.tree_flatten_with_path(tree)[0]
         ]
+
+    def _var_paths(self) -> list:
+        return self._tree_paths(self.state.vars_g["params"])
+
+    def _print_variable_names(self) -> None:
+        """Startup dump of every trainable variable path — the
+        reference pprints all trainable variable names after build
+        (sagan/main.py:143-146)."""
+        for tag, tree in (("G", self.state.vars_g["params"]),
+                          ("D", self.state.vars_d["params"])):
+            paths = self._tree_paths(tree)
+            print(f"{tag} trainable variables ({len(paths)}):")
+            for p in paths:
+                print(f"  {tag}/{p}")
 
     def var_summaries(self, means) -> dict:
         """Mean of every generator variable, keyed by its tree path —
@@ -326,6 +351,16 @@ class Trainer:
         means = np.asarray(means)
         return {f"vars/G/{name}": float(m)
                 for name, m in zip(self._var_paths(), means)}
+
+    def grad_norm_summaries(self, norms) -> dict:
+        """Per-variable G gradient norms, keyed by tree path — the
+        reference's ``grads_norm/{name}`` scalars (sagan/main.py:159,
+        277-278).  ``norms`` is the stacked ``G_grad_norms`` vector the
+        train step emits (computed in-step, same rationale as
+        ``G_var_means``)."""
+        norms = np.asarray(norms)
+        return {f"grads_norm/G/{name}": float(v)
+                for name, v in zip(self._var_paths(), norms)}
 
     def eval_vars_g(self):
         """G variables for evaluation: EMA params when tracked (standard
@@ -356,7 +391,8 @@ class Trainer:
         if K <= 1:
             source = self.ds_train.epoch(epoch)
         else:
-            from ..parallel.mesh import stacked_batch_sharding
+            from ..parallel.mesh import (put_with_sharding,
+                                         stacked_batch_sharding)
             sharding = stacked_batch_sharding(self.mesh)
 
             def packed():
@@ -379,7 +415,7 @@ class Trainer:
             if K <= 1:
                 pending = shard_batch(self.mesh, *host_batch)
             else:
-                pending = tuple(jax.device_put(a, sharding)
+                pending = tuple(put_with_sharding(a, sharding)
                                 for a in host_batch)
             if ready is not None:
                 yield ready
@@ -423,14 +459,17 @@ class Trainer:
             return
 
         previous_handlers = self._install_preemption_handler()
-        profiling = False
         try:
-            self._train_epochs(start_epoch, num_epochs, profiling)
+            self._train_epochs(start_epoch, num_epochs)
         finally:
             self._restore_handlers(previous_handlers)
 
-    def _train_epochs(self, start_epoch, num_epochs, profiling):
+    def _train_epochs(self, start_epoch, num_epochs):
+        from ..utils.profiling import StepTimer, TraceWindow
+
         config = self.config
+        tracer = (TraceWindow(self._profile_dir, start=10, stop=20)
+                  if self._profile_dir else None)
         # summary_step_freq is in steps; the loop iterates per call
         summary_freq = max(1, config.get("summary_step_freq", 100)
                            // self.steps_per_call)
@@ -449,23 +488,21 @@ class Trainer:
         for epoch in range(start_epoch, num_epochs):
             t0 = time.time()
             count = 0
+            acc: dict[str, float] = {}
+            acc_n = 0
+            timer = StepTimer()
             skip = resume_skip if epoch == start_epoch else 0
             for images, labels in self._device_batches(epoch, skip):
-                if self._profile_dir and epoch == start_epoch:
+                if tracer and epoch == start_epoch:
                     # trace steps [10, 20) of the first epoch (post-warmup)
-                    if count == 10 and not profiling:
-                        jax.profiler.start_trace(self._profile_dir)
-                        profiling = True
-                    elif count == 20 and profiling:
-                        jax.profiler.stop_trace()
-                        profiling = False
+                    tracer.step(count)
                 self.state, metrics = self.train_step(self.state, images,
                                                       labels)
+                timer.tick()
                 count += 1
                 if self._preempted:
-                    if profiling:
-                        jax.profiler.stop_trace()
-                        profiling = False
+                    if tracer:
+                        tracer.close()
                     if self.ckpt_mgr:
                         self.ckpt_mgr.save(self.global_step(), self.state)
                         self.ckpt_mgr.wait()
@@ -479,7 +516,11 @@ class Trainer:
                 if count % summary_freq == 0:
                     fetched = dict(jax.device_get(metrics))
                     var_means = fetched.pop("G_var_means", None)
+                    grad_norms = fetched.pop("G_grad_norms", None)
                     m = {k: float(v) for k, v in fetched.items()}
+                    for k, v in m.items():
+                        acc[k] = acc.get(k, 0.0) + v
+                    acc_n += 1
                     if self.writer:
                         step_now = self.global_step()
                         self.writer.scalars(
@@ -488,11 +529,16 @@ class Trainer:
                         if var_means is not None:
                             self.writer.scalars(
                                 self.var_summaries(var_means), step_now)
+                        # fixed-latent sample grid every summary_step_freq
+                        # steps (sagan/main.py:266-268, 332-339)
+                        from ..utils.images import make_grid
+                        self.writer.image(
+                            "sample", make_grid(self.sample_images()),
+                            step_now)
                         self.writer.flush()
 
-            if profiling:
-                jax.profiler.stop_trace()
-                profiling = False
+            if tracer:
+                tracer.close()
             if count == 0:
                 raise RuntimeError(
                     "epoch produced no batches — data_size/global_batch "
@@ -502,24 +548,41 @@ class Trainer:
             epoch_time = time.time() - t0
             fetched = dict(jax.device_get(metrics))
             fetched.pop("G_var_means", None)
+            grad_norms = fetched.pop("G_grad_norms", None)
             m = {k: float(v) for k, v in fetched.items()}
+            for k, v in m.items():
+                acc[k] = acc.get(k, 0.0) + v
+            acc_n += 1
+            # Epoch scalars are the mean of the sampled per-summary-step
+            # fetches (the reference accumulates tf.keras.metrics.Mean
+            # over every step, sagan/main.py:274-278 — we sample every
+            # summary_step_freq to avoid per-step device syncs; see
+            # PARITY.md)
+            mean = {k: v / acc_n for k, v in acc.items()}
             if self.writer:
-                self.writer.scalars(
-                    {"generator_loss": m["G_loss"],
-                     "discriminator_loss": m["D_loss"],
-                     "G_grad_norm": m["G_grad_norm"],
-                     "D_grad_norm": m["D_grad_norm"],
-                     "epoch_time_sec": epoch_time,
-                     "lr_g": float(self.sched_g(step)),
-                     "lr_d": float(self.sched_d(step * config.get(
-                         "update_ratio", 1)))},
-                    epoch)
+                scalars = {
+                    "generator_loss": mean["G_loss"],
+                    "discriminator_loss": mean["D_loss"],
+                    "G_grad_norm": mean["G_grad_norm"],
+                    "D_grad_norm": mean["D_grad_norm"],
+                    "epoch_time_sec": epoch_time,
+                    "step_time_ms": timer.mean_ms() / self.steps_per_call,
+                    "lr_g": float(self.sched_g(step)),
+                    "lr_d": float(self.sched_d(step * config.get(
+                        "update_ratio", 1))),
+                }
+                if grad_norms is not None:
+                    # per-epoch grads_norm/{var} (sagan/main.py:277-278)
+                    scalars.update(self.grad_norm_summaries(grad_norms))
+                self.writer.scalars(scalars, epoch)
                 self.writer.flush()
             imgs_per_sec = (count * self.steps_per_call *
                             config["global_batch_size"] / epoch_time)
-            print(f"epoch {epoch}: G_loss={m['G_loss']:.4f} "
-                  f"D_loss={m['D_loss']:.4f} time={epoch_time:.1f}s "
-                  f"({imgs_per_sec:.1f} imgs/s)", flush=True)
+            print(f"epoch {epoch}: G_loss={mean['G_loss']:.4f} "
+                  f"D_loss={mean['D_loss']:.4f} time={epoch_time:.1f}s "
+                  f"({imgs_per_sec:.1f} imgs/s, "
+                  f"{timer.mean_ms() / self.steps_per_call:.2f} ms/step)",
+                  flush=True)
 
             # checkpoint at epoch 5 then every 10 (sagan/main.py:284-287)
             if self.ckpt_mgr and (epoch == 5 or (epoch and epoch % 10 == 0)

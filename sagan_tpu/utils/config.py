@@ -60,7 +60,13 @@ REQUIRED_KEYS = ("data_path", "batch_size", "z_dim", "gf_dim", "df_dim",
 
 
 def resolve_config(config: dict, num_local_devices: int | None = None) -> dict:
-    """Fill defaults and derive global_batch_size / num_devices."""
+    """Fill defaults and derive global_batch_size / num_devices.
+
+    ``num_local_devices`` overrides the available-device count (tests);
+    by default the mesh width is ``jax.device_count()`` — the *global*
+    count, so a multi-process (DCN) run meshes over every host's chips,
+    not just the local ones.
+    """
     import jax
 
     cfg = dict(DEFAULTS)
@@ -70,13 +76,17 @@ def resolve_config(config: dict, num_local_devices: int | None = None) -> dict:
         raise ValueError(
             f"config is missing required keys: {missing} "
             f"(see example_configs/church64_attn.py for the full set)")
-    if num_local_devices is None:
-        num_local_devices = len(jax.devices())
+    if cfg.get("sn_iters", 1) < 1:
+        raise ValueError(
+            f"sn_iters must be >= 1 (got {cfg['sn_iters']}): 0 iterations "
+            f"would leave sigma=0 and blow up every SN kernel")
+    available = (num_local_devices if num_local_devices is not None
+                 else jax.device_count())
     width = cfg.get("num_devices")
     if not width:
         gpus = cfg.get("gpu")
-        width = len(gpus) if gpus else num_local_devices
-        width = min(width, num_local_devices)
+        width = len(gpus) if gpus else available
+        width = min(width, available)
     cfg["num_devices"] = width
     cfg.setdefault("global_batch_size", cfg["batch_size"] * width)
     return cfg

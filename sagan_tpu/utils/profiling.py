@@ -4,6 +4,8 @@ wall-clock print per epoch).
 
 * ``trace(logdir)``: context manager around ``jax.profiler`` —
   TensorBoard-compatible traces (xplane) of device + host activity;
+* ``TraceWindow``: trace a [start, stop) step-index window of a training
+  loop (the Trainer's ``profile_dir`` hook);
 * ``StepTimer``: cheap rolling step-time stats printed without forcing
   device syncs (reads are piggy-backed on the periodic metric fetch).
 """
@@ -23,6 +25,30 @@ def trace(logdir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+class TraceWindow:
+    """Trace steps [start, stop) of a loop: call ``step(i)`` with the
+    running step index; the trace starts when i reaches ``start`` and
+    stops at ``stop``.  ``close()`` (idempotent) stops a still-open
+    trace — call it on early exit (preemption)."""
+
+    def __init__(self, logdir: str, start: int = 10, stop: int = 20):
+        self.logdir = logdir
+        self.start, self.stop = start, stop
+        self._active = False
+
+    def step(self, i: int) -> None:
+        if i == self.start and not self._active:
+            jax.profiler.start_trace(self.logdir)
+            self._active = True
+        elif i == self.stop and self._active:
+            self.close()
+
+    def close(self) -> None:
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
 
 
 class StepTimer:

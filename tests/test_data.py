@@ -180,6 +180,26 @@ def test_sharded_write_and_parallel_read(tmp_path):
     assert sorted(lp.tolist()) == sorted(ls.tolist())
 
 
+def test_parallel_multi_file_read_is_deterministic(tmp_path):
+    """The worker merge is deterministic round-robin, so the item (and
+    therefore batch) stream is identical across reads — required for
+    exact mid-epoch preemption resume (trainer replays + skips the host
+    stream)."""
+    from sagan_tpu.data.synthetic import make_synthetic_dataset
+
+    d = make_synthetic_dataset(str(tmp_path / "det"), num=120,
+                               img_size=8, num_classes=6, num_shards=4)
+    runs = []
+    for _ in range(3):
+        ds = ImageDataset(d, batch_size=8, shuffle_buffer=16, num_workers=4)
+        runs.append(np.concatenate([b[1] for b in ds.epoch(0)]))
+    assert runs[0].tolist() == runs[1].tolist() == runs[2].tolist()
+    # and a fresh reader mid-stream (resume) sees the same prefix
+    ds = ImageDataset(d, batch_size=8, shuffle_buffer=16, num_workers=4)
+    first5 = [b[1].copy() for _, b in zip(range(5), ds.epoch(0))]
+    np.testing.assert_array_equal(np.concatenate(first5), runs[0][:40])
+
+
 def test_file_sharding_across_hosts(tmp_path):
     from sagan_tpu.data.synthetic import make_synthetic_dataset
 

@@ -88,4 +88,54 @@ def test_compute_fid_smaller_for_matching_distribution(tmp_path, monkeypatch):
     fid_noise = compute_fid(ds, noise_sampler, config2, num_images=96,
                             batch_size=32)
     assert fid_good < fid_noise * 0.5
-    assert (tmp_path / ".cache" / "synthA_16_96.pkl").exists()
+    # cache key includes the extractor identity (kind+dim+seed)
+    assert (tmp_path / ".cache" / "synthA_16_96_random64s42.pkl").exists()
+
+
+def test_fid_cache_keyed_by_extractor(tmp_path, monkeypatch):
+    """Switching feature extractors must NOT reuse cached real-set stats:
+    the full inception path (tf.keras random weights -> export npz ->
+    compute_fid with caching) runs end-to-end, then the proxy extractor
+    runs on the same dataset and each gets its own cache entry
+    (cache contract of /root/reference/sagan/main.py:39-84, extended for
+    pluggable extractors)."""
+    tf = pytest.importorskip("tensorflow")
+    from sagan_tpu.data.loader import ImageDataset
+    from sagan_tpu.data.synthetic import make_synthetic_dataset
+    from sagan_tpu.train.inception import export_weights_npz
+
+    monkeypatch.chdir(tmp_path)
+    d = make_synthetic_dataset(str(tmp_path / "ds"), num=48, img_size=16,
+                               num_classes=2)
+    ds = ImageDataset(d, batch_size=16, shuffle_buffer=1)
+
+    npz = str(tmp_path / "incep.npz")
+    model = tf.keras.applications.InceptionV3(
+        include_top=False, weights=None, input_shape=(299, 299, 3))
+    export_weights_npz(npz, source=model)
+
+    def sampler(key, n):
+        return np.random.default_rng(int(key[0]) % 2**31).uniform(
+            -1, 1, (n, 16, 16, 3)).astype(np.float32)
+
+    cfg_incep = {"img_size": 16, "dataset": "synthB",
+                 "inception_weights": npz}
+    fid_i = compute_fid(ds, sampler, cfg_incep, num_images=32,
+                        batch_size=16)
+    assert np.isfinite(fid_i) and fid_i > 0
+
+    cfg_proxy = {"img_size": 16, "dataset": "synthB",
+                 "fid_feature_dim": 64}
+    fid_p = compute_fid(ds, sampler, cfg_proxy, num_images=32,
+                        batch_size=16)
+    assert np.isfinite(fid_p) and fid_p > 0
+
+    cache = sorted(f.name for f in (tmp_path / ".cache").iterdir())
+    incep_files = [f for f in cache if "inception" in f]
+    proxy_files = [f for f in cache if "random" in f]
+    assert len(incep_files) == 1 and len(proxy_files) == 1
+    # second run with the inception config hits its own cache (no growth)
+    fid_i2 = compute_fid(ds, sampler, cfg_incep, num_images=32,
+                         batch_size=16)
+    assert len(list((tmp_path / ".cache").iterdir())) == 2
+    assert np.isfinite(fid_i2)

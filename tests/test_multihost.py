@@ -1,0 +1,60 @@
+"""Multi-host (DCN) integration: two real OS processes join one
+``jax.distributed`` coordination service, each owning 4 virtual CPU
+devices, and drive a global 8-device train step end-to-end — loader
+sharding by process, mesh over all hosts' devices, pmean'd gradients.
+
+This executes the path the reference never tested (its only distribution
+was single-host MirroredStrategy, /root/reference/sagan/main.py:91-98,
+with an open mirrored-variable TODO in the README)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed_train_step(tmp_path):
+    from sagan_tpu.data.synthetic import make_synthetic_dataset
+
+    data = make_synthetic_dataset(str(tmp_path / "ds"), num=64, img_size=16,
+                                  num_classes=4, num_shards=4, seed=3)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "multihost_worker.py")
+    port = _free_port()
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port), data],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd=repo)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, (out[-1000:], err[-3000:])
+        outs.append(out)
+
+    lines = [next(ln for ln in o.splitlines() if "MULTIHOST_OK" in ln)
+             for o in outs]
+    # pmean'd losses and synced params must agree bit-for-bit across hosts
+    vals = [dict(kv.split("=") for kv in ln.split()[1:]) for ln in lines]
+    assert vals[0]["loss"] == vals[1]["loss"]
+    assert vals[0]["checksum"] == vals[1]["checksum"]
+    assert {vals[0]["pid"], vals[1]["pid"]} == {"0", "1"}

@@ -194,10 +194,30 @@ def test_sharded_step_contains_ici_collectives(data16):
     assert "all-reduce" in hlo, "no all-reduce in compiled sharded step"
 
 
-def test_dryrun_multichip_large_meshes():
-    """Pod-scale sharding compiles and executes (32-wide virtual mesh)."""
+def test_dryrun_multichip_8_wide():
+    """The driver's dryrun entry point executes on the in-process
+    8-device virtual mesh (conftest pins 8; wider meshes are exercised
+    in a subprocess below)."""
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_32_wide_subprocess():
+    """Pod-scale sharding compiles and executes on a genuine 32-wide
+    virtual mesh — run in a subprocess because the in-process backend is
+    pinned to 8 devices by conftest."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=32",
+               JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "__graft_entry__.py"), "32"],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip(32): ok" in proc.stdout
 
 
 def test_steps_per_call_matches_sequential_steps(data16):
@@ -215,8 +235,10 @@ def test_steps_per_call_matches_sequential_steps(data16):
 
     from sagan_tpu.parallel.mesh import shard_batch, stacked_batch_sharding
     s1 = tr1.state
+    g_losses = []
     for images, labels in batches:
         s1, m1 = tr1.train_step(s1, *shard_batch(tr1.mesh, images, labels))
+        g_losses.append(float(m1["G_loss"]))
 
     sh = stacked_batch_sharding(tr2.mesh)
     imgs_k = jax.device_put(np.stack([b[0] for b in batches]), sh)
@@ -224,7 +246,8 @@ def test_steps_per_call_matches_sequential_steps(data16):
     s2, m2 = tr2.train_step(tr2.state, imgs_k, lbls_k)
 
     assert int(jax.device_get(s1.step)) == int(jax.device_get(s2.step)) == 2
-    np.testing.assert_allclose(float(m1["G_loss"]), float(m2["G_loss"]),
+    # scanned-call metrics are the mean over the K fused steps
+    np.testing.assert_allclose(float(np.mean(g_losses)), float(m2["G_loss"]),
                                rtol=1e-5)
     for a, b in zip(jax.tree.leaves(s1.vars_g["params"]),
                     jax.tree.leaves(s2.vars_g["params"])):
@@ -307,6 +330,48 @@ def test_config_missing_keys_friendly_error():
     from sagan_tpu.utils.config import resolve_config
     with _pytest.raises(ValueError, match="missing required keys"):
         resolve_config({"batch_size": 4}, num_local_devices=1)
+
+
+def test_sn_iters_zero_rejected():
+    with pytest.raises(ValueError, match="sn_iters"):
+        resolve_config({"data_path": "/d", "batch_size": 2, "z_dim": 8,
+                        "gf_dim": 8, "df_dim": 8, "lr_g": 1e-4,
+                        "lr_d": 4e-4, "sn_iters": 0}, num_local_devices=1)
+
+
+def test_event_file_has_grad_norm_and_image_summaries(data16, tmp_path):
+    """The reference emits per-variable grads_norm/{name} scalars per
+    epoch (sagan/main.py:159,277-278) and a fixed-latent image grid every
+    summary_step_freq steps (:266-268,332-339); read the event file back
+    and assert both tag families exist."""
+    tf = pytest.importorskip("tensorflow")
+
+    cfg = tiny_config(data16, num_devices=2, epoch=1,
+                      log_dir=str(tmp_path / "logs"),
+                      summary_step_freq=2)
+    tr = Trainer(cfg)
+    tr.train()
+
+    logdir = cfg["log_dir"]
+    fname = [f for f in os.listdir(logdir) if "tfevents" in f][0]
+    scalar_tags, image_tags = set(), set()
+    for ev in tf.compat.v1.train.summary_iterator(
+            os.path.join(logdir, fname)):
+        for v in ev.summary.value:
+            if v.HasField("image"):
+                image_tags.add(v.tag)
+            elif v.HasField("simple_value"):
+                scalar_tags.add(v.tag)
+    assert any(t.startswith("grads_norm/G/") for t in scalar_tags), \
+        sorted(scalar_tags)
+    assert any(t.startswith("vars/G/") for t in scalar_tags)
+    assert "sample" in image_tags
+    # in-epoch image summaries: more than just the per-epoch write
+    img_events = sum(
+        1 for ev in tf.compat.v1.train.summary_iterator(
+            os.path.join(logdir, fname))
+        for v in ev.summary.value if v.tag == "sample")
+    assert img_events >= 2
 
 
 def test_random_flip_changes_dynamics_but_stays_finite(data16):

@@ -1,0 +1,189 @@
+"""On-TPU Pallas kernel parity check: fused vs oracle, NON-interpret.
+
+The pytest suite verifies the Pallas kernels in interpreter mode on CPU;
+Mosaic compilation is a different execution path (layouts, padding,
+accumulation order), so this script runs the same comparisons natively on
+the real chip for the shapes the models actually use and records
+max|fused − oracle| for forward and gradients into ``PARITY_TPU.json``.
+
+Kernel contracts being checked (reference semantics):
+  * attention_fused  — softmax(QKᵀ)V, unscaled logits
+    (/root/reference/layers.py:108-116);
+  * spectral_normalize_fused — n-step power iteration + W/σ
+    (/root/reference/layers.py:50-68, with the never-applied division
+    fixed).
+
+Usage:  python tools/pallas_parity.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sagan_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _err(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    denom = max(1e-12, float(np.abs(b).max()))
+    return float(np.abs(a - b).max()), float(np.abs(a - b).max() / denom)
+
+
+def attention_cases():
+    """(N, M, d, c) for every attention insertion the example configs can
+    request: church64 vanilla gf16 @32/@64, imagenet128 resnet @32/@64,
+    and the 128px-map non-downsampled worst case."""
+    return [
+        ("church64_attn32", 4, 1024, 256, 4, 16),
+        ("church64_attn64", 4, 4096, 1024, 2, 8),
+        ("imagenet128_attn32", 4, 1024, 256, 8, 32),
+        ("imagenet128_attn64", 4, 4096, 1024, 4, 16),
+        ("map128_full_tokens", 1, 16384, 4096, 8, 32),
+    ]
+
+
+def check_attention(results, dtype, tol_fwd, tol_bwd):
+    from sagan_tpu.ops.attention import attention_reference
+    from sagan_tpu.ops.pallas_attention import attention_fused
+
+    for name, b, n, m, d, c in attention_cases():
+        key = jax.random.PRNGKey(hash(name) % 2**31)
+        kq, kk, kv, kg = jax.random.split(key, 4)
+        q = jax.random.normal(kq, (b, n, d), dtype)
+        k = jax.random.normal(kk, (b, m, d), dtype)
+        v = jax.random.normal(kv, (b, m, c), dtype)
+        ct = jax.random.normal(kg, (b, n, c), dtype)
+
+        fused = jax.jit(attention_fused)
+        oracle = jax.jit(attention_reference)
+        out_f = jax.device_get(fused(q, k, v))
+        out_o = jax.device_get(oracle(q.astype(jnp.float32),
+                                      k.astype(jnp.float32),
+                                      v.astype(jnp.float32)))
+        abs_f, rel_f = _err(out_f, out_o)
+
+        def loss_fused(q, k, v):
+            return jnp.sum(attention_fused(q, k, v) * ct)
+
+        def loss_oracle(q, k, v):
+            return jnp.sum(attention_reference(
+                q.astype(jnp.float32), k.astype(jnp.float32),
+                v.astype(jnp.float32)) * ct.astype(jnp.float32))
+
+        gf = jax.device_get(jax.jit(jax.grad(loss_fused, (0, 1, 2)))(q, k, v))
+        go = jax.device_get(jax.jit(jax.grad(loss_oracle, (0, 1, 2)))(q, k, v))
+        grads = {}
+        ok = rel_f <= tol_fwd
+        for nm, a, bb in zip("qkv", gf, go):
+            ab, rel = _err(a, bb)
+            grads[f"d{nm}_max_abs"] = ab
+            grads[f"d{nm}_max_rel"] = rel
+            ok = ok and rel <= tol_bwd
+        results.append({
+            "kernel": "attention_fused", "case": name,
+            "dtype": str(np.dtype(dtype)), "shape": [b, n, m, d, c],
+            "fwd_max_abs": abs_f, "fwd_max_rel": rel_f,
+            **grads, "tol_fwd": tol_fwd, "tol_bwd": tol_bwd, "ok": bool(ok),
+        })
+        print(f"attention {name} {np.dtype(dtype)}: fwd_rel={rel_f:.2e} "
+              f"ok={ok}", flush=True)
+
+
+def sn_weight_shapes():
+    """Every SN weight shape in both model families at the benchmark
+    configs (church64 vanilla gf/df 16; imagenet128 resnet gf/df 64)."""
+    from sagan_tpu.models import get_discriminator, get_generator
+
+    configs = [
+        {"model": "vanilla", "z_dim": 128, "gf_dim": 16, "df_dim": 16,
+         "img_size": 64, "use_attention": True, "attn_dim_G": [32, 64],
+         "attn_dim_D": [8, 4], "use_label": False, "num_classes": 1},
+        {"model": "resnet", "z_dim": 128, "gf_dim": 64, "df_dim": 64,
+         "img_size": 128, "use_attention": True, "attn_dim_G": [32],
+         "attn_dim_D": [32], "use_label": True, "use_cond_bn": True,
+         "num_classes": 10},
+    ]
+    shapes = {}
+    for cfg in configs:
+        for model in (get_generator(cfg), get_discriminator(cfg)):
+            for mod in model.iter_modules():
+                if getattr(mod, "sn", False):
+                    shapes[tuple(mod._pspecs["w"].shape)] = True
+    return sorted(shapes, key=lambda s: (len(s), s))
+
+
+def check_spectral_norm(results, tol):
+    from sagan_tpu.ops.pallas_spectral import spectral_normalize_fused
+    from sagan_tpu.ops.spectral import spectral_normalize_xla
+
+    for shape in sn_weight_shapes():
+        key = jax.random.PRNGKey(sum(shape))
+        w = jax.random.normal(key, shape, jnp.float32)
+        u = jax.random.normal(jax.random.fold_in(key, 1), (shape[-1],))
+        u = u / jnp.linalg.norm(u)
+        t = jax.random.normal(jax.random.fold_in(key, 2), shape)
+
+        fused = jax.jit(lambda w, u: spectral_normalize_fused(w, u, n_iter=3))
+        ref = jax.jit(lambda w, u: spectral_normalize_xla(w, u, n_iter=3))
+        (wf, uf), (wx, ux) = fused(w, u), ref(w, u)
+        abs_w, rel_w = _err(wf, wx)
+        abs_u, rel_u = _err(uf, ux)
+
+        gf = jax.jit(jax.grad(
+            lambda w: jnp.sum(spectral_normalize_fused(w, u, n_iter=3)[0]
+                              * t)))(w)
+        gx = jax.jit(jax.grad(
+            lambda w: jnp.sum(spectral_normalize_xla(w, u, n_iter=3)[0]
+                              * t)))(w)
+        abs_g, rel_g = _err(gf, gx)
+        ok = rel_w <= tol and rel_u <= tol and rel_g <= tol
+        results.append({
+            "kernel": "spectral_normalize_fused", "case": str(list(shape)),
+            "dtype": "float32", "shape": list(shape),
+            "fwd_max_abs": abs_w, "fwd_max_rel": rel_w,
+            "u_max_rel": rel_u, "dw_max_abs": abs_g, "dw_max_rel": rel_g,
+            "tol": tol, "ok": bool(ok),
+        })
+        print(f"spectral_norm {shape}: w_rel={rel_w:.2e} dw_rel={rel_g:.2e} "
+              f"ok={ok}", flush=True)
+
+
+def main():
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "PARITY_TPU.json"
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} {dev.device_kind}", flush=True)
+
+    results = []
+    # fp32: tight; bf16: inputs carry ~3 decimal digits, logits/softmax
+    # amplify — 2% relative on the max element is the expected band
+    check_attention(results, jnp.float32, tol_fwd=1e-4, tol_bwd=1e-3)
+    check_attention(results, jnp.bfloat16, tol_fwd=2e-2, tol_bwd=5e-2)
+    check_spectral_norm(results, tol=1e-4)
+
+    payload = {
+        "device_kind": dev.device_kind,
+        "platform": dev.platform,
+        "all_ok": all(r["ok"] for r in results),
+        "results": results,
+    }
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"\nall_ok={payload['all_ok']}  ({len(results)} cases) "
+          f"→ {out_path}", flush=True)
+    if not payload["all_ok"]:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
