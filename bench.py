@@ -105,8 +105,15 @@ def build(config):
     return step, state, images, labels
 
 
-def compiled_flops(step, state, images, labels) -> float | None:
-    """XLA-counted FLOPs of one compiled call (covers all K fused steps)."""
+def compiled_flops_per_step(step, state, images, labels) -> float | None:
+    """XLA-counted FLOPs of ONE training step.
+
+    ``cost_analysis()`` counts a ``lax.scan`` body once (not × trip
+    count), so for the K-fused step program the reported number IS the
+    per-step FLOPs.  Cross-checked by hand for the church64 config:
+    XLA reports 38.9 GFLOP; a manual conv/matmul count of the same
+    D+G step gives ≈0.61 GFLOP/img × 64 = 38.9 GFLOP.  (The few ops
+    outside the scan — metric means — are negligible.)"""
     try:
         cost = step.lower(state, images, labels).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
@@ -116,23 +123,38 @@ def compiled_flops(step, state, images, labels) -> float | None:
         return None
 
 
-def measure(step, state, images, labels, warmup=5, iters=30, reps=3):
+def _force(metrics):
+    """Force execution of everything the metrics depend on.
+
+    CRITICAL: ``jax.block_until_ready`` does NOT wait for device
+    execution over the axon-tunneled TPU backend (verified: a chained
+    8192³ matmul loop "finished" at 300× the chip's peak under
+    block_until_ready; the same loop forced by ``device_get`` measures
+    164 TFLOP/s ≈ 83% of a v5e's bf16 peak, which is physical).  Only a
+    value fetch is a true barrier, so all timing here fetches a scalar.
+    """
+    return float(jax.device_get(metrics["G_loss"]))
+
+
+def measure(step, state, images, labels, warmup=3, iters=20, reps=3):
     """Best-of-``reps`` steady-state steps/sec (the tunneled chip's
     throughput is noisy run-to-run; max is the least-contended sample).
-    Stacked [K, B, ...] batches count as K steps per call."""
+    Stacked [K, B, ...] batches count as K steps per call.  Each rep is
+    fetch-forced exactly once, so the per-fetch round trip is amortized
+    over ``iters`` calls."""
     k = images.shape[0] if images.ndim == 5 else 1
     # the step donates its state argument: run on a private copy so the
     # caller's handle stays valid across repeated measure() calls
     state = jax.tree.map(jnp.copy, state)
     for _ in range(warmup):
         state, metrics = step(state, images, labels)
-    jax.block_until_ready(metrics)
+    _force(metrics)
     best = 0.0
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(iters):
             state, metrics = step(state, images, labels)
-        jax.block_until_ready(metrics)
+        _force(metrics)
         dt = time.perf_counter() - t0
         best = max(best, iters * k / dt)
     return best  # steps/sec
@@ -159,13 +181,14 @@ CHURCH64 = {
     "global_batch_size": 64,
 }
 
-# north-star: ImageNet-128 class-conditional ResNet SAGAN
-# (example_configs/imagenet128_cond.py scale)
+# north-star: ImageNet-128 class-conditional ResNet SAGAN at the
+# reference's scale (gf_dim=16, /root/reference/models/generator.py:23
+# default; example_configs/imagenet128_cond.py)
 IMAGENET128 = {
     "model": "resnet",
     "z_dim": 128,
-    "gf_dim": 64,
-    "df_dim": 64,
+    "gf_dim": 16,
+    "df_dim": 16,
     "img_size": 128,
     "use_attention": True,
     "attn_dim_G": [32],
@@ -190,7 +213,7 @@ def bench_config(config, name, interleave_with=None, reps=3):
     of self-accounting stats (and the baseline's, when interleaved)."""
     handles = build(config)
     k = config.get("steps_per_call", 1)
-    flops_per_call = compiled_flops(*handles)
+    flops_per_step = compiled_flops_per_step(*handles)
 
     other = build(interleave_with) if interleave_with else None
     best = best_other = 0.0
@@ -211,14 +234,18 @@ def bench_config(config, name, interleave_with=None, reps=3):
         "compute_dtype": config.get("compute_dtype", "float32"),
         "update_ratio": config.get("update_ratio", 1),
     }
-    if flops_per_call:
-        tflops = flops_per_call * (best / k) / 1e12
-        entry["flops_per_call_xla"] = flops_per_call
-        entry["flops_per_img_xla"] = round(flops_per_call / (k * batch))
+    if flops_per_step:
+        tflops = flops_per_step * best / 1e12
+        entry["flops_per_step_xla"] = flops_per_step
+        entry["flops_per_img_xla"] = round(flops_per_step / batch)
         entry["tflops_per_sec"] = round(tflops, 2)
         peak = chip_peak(jax.devices()[0].device_kind)
         if peak:
-            entry["mfu_vs_bf16_peak"] = round(tflops / peak, 4)
+            mfu = tflops / peak
+            entry["mfu_vs_bf16_peak"] = round(mfu, 4)
+            if mfu > 1.0:
+                entry["warning"] = ("MFU > 1 is unphysical: the "
+                                    "measurement or FLOP count is wrong")
     if other is not None:
         entry["baseline_imgs_per_sec"] = round(best_other * batch, 1)
         entry["vs_baseline"] = round(best / best_other, 3)
@@ -240,6 +267,13 @@ def main():
              steps_per_call=4),
         "imagenet128_cond")
 
+    # paper-scale SAGAN (gf=64, arXiv:1805.08318 setup) — demonstrates
+    # MXU saturation on a model large enough to fill the systolic array
+    paper = bench_config(
+        dict(IMAGENET128, gf_dim=64, df_dim=64, compute_dtype="bfloat16",
+             use_pallas=None, steps_per_call=4),
+        "imagenet128_paper_gf64")
+
     print(json.dumps({
         "metric": "sagan_church64_train_imgs_per_sec_per_chip",
         "value": church["imgs_per_sec_per_chip"],
@@ -253,7 +287,7 @@ def main():
                 "naive fp32 unfused non-donated JAX transcription of the "
                 "TF2 reference's step, same process/chip (the reference "
                 "publishes no numbers; BASELINE.md)"),
-            "configs": [church, imagenet],
+            "configs": [church, imagenet, paper],
         },
     }))
 

@@ -34,22 +34,24 @@ def _sn_kernel(w_ref, u_ref, wbar_ref, unew_ref, v_ref, sigma_ref,
     w = w_ref[:]                                  # [F, O] fp32
     u0 = u_ref[:]                                 # [1, O]
 
-    # identical iteration structure to ops.spectral.power_iterate:
+    # True-fp32 matvecs as VPU multiply+reduce: a plain dot_general gets
+    # silently demoted to bf16 multiplies by the TPU backend (measured
+    # ~1e-3 relative error on sigma), and requesting Precision.HIGHEST
+    # makes Mosaic stage an 18 MB fp32-emulation scratch that OOMs VMEM
+    # on 0.5M-element weights.  Power iteration is bandwidth-bound —
+    # elementwise multiply + axis reduce is the right unit and is exact
+    # fp32.  Iteration structure matches ops.spectral.power_iterate:
     # v_i = l2n(W u_{i-1});  u_i = l2n(v_i W);  sigma = (v_n W) · u_n
     def body(_, carry):
         u, _v = carry
-        v = lax.dot_general(w, u, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)   # [F, 1]
+        v = jnp.sum(w * u, axis=1, keepdims=True)                 # [F, 1]
         v = v / (jnp.sqrt(jnp.sum(v * v)) + eps)
-        u2 = lax.dot_general(v, w, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # [1, O]
+        u2 = jnp.sum(w * v, axis=0, keepdims=True)                # [1, O]
         return u2 / (jnp.sqrt(jnp.sum(u2 * u2)) + eps), v
 
     u, v = jax.lax.fori_loop(0, n_iter, body,
                              (u0, jnp.zeros_like(w[:, :1])))
-    sigma = jnp.sum(lax.dot_general(v, w, (((0,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-                    * u)
+    sigma = jnp.sum(jnp.sum(w * v, axis=0, keepdims=True) * u)
     wbar_ref[:] = w / (sigma + eps)
     unew_ref[:] = u
     v_ref[:] = v

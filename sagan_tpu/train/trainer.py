@@ -62,11 +62,12 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh):
 
     ``config['steps_per_call'] = K > 1`` fuses K consecutive training
     steps into one XLA program via ``lax.scan`` (batches arrive stacked
-    as [K, B, ...]); per-step host dispatch over a tunneled/remote device
-    costs ~0.7 ms, which bounds small-model throughput — scanning K=8
-    steps measured 8.3x on the church64 config.  Numerics are identical
-    to K sequential calls: the per-step RNG is folded from the step
-    counter, which the scan increments exactly as the host loop would.
+    as [K, B, ...]); per-call dispatch over the tunneled device costs
+    ~1.5 ms (fetch-forced measurement), so K=8 removes ~16% of the
+    church64 step time and more for smaller models.  Numerics are
+    identical to K sequential calls: the per-step RNG is folded from the
+    step counter, which the scan increments exactly as the host loop
+    would.  Per-call metrics are the mean over the K steps.
     """
     z_dim = config["z_dim"]
     num_classes = max(1, config.get("num_classes", 1))
