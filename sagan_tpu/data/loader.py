@@ -52,7 +52,8 @@ class ImageDataset:
                  data_size: int = -1, shuffle_buffer: int = SHUFFLE_BUFFER,
                  seed: int = 0, process_index: int = 0,
                  process_count: int = 1, prefetch_depth: int = 2,
-                 use_native: bool | None = None, num_workers: int = 4):
+                 use_native: bool | None = None, num_workers: int = 4,
+                 cache_in_memory: bool | None = None):
         self.files = _find_files(data_path)
         self.meta = load_metadata(data_path)
         if use_native is None:
@@ -75,6 +76,18 @@ class ImageDataset:
             else min(data_size, self.num_records)
         per_host = total // process_count
         self.steps_per_epoch = per_host // batch_size
+
+        # In-memory decoded cache: once the (sharded, truncated) item
+        # stream is materialized, later epochs serve from RAM with an
+        # exact per-epoch shuffle — disk decode was the dominant cost of
+        # real training loops (the reference's shuffle(30000) buffer
+        # effectively did the same for its small datasets).  Auto-on for
+        # per-host data below 2 GB; set cache_in_memory to override.
+        if cache_in_memory is None:
+            img_bytes = self.img_size * self.img_size * 3
+            cache_in_memory = per_host * img_bytes <= 2 << 30
+        self.cache_in_memory = cache_in_memory
+        self._cache = None
 
     # -- decoded item stream -----------------------------------------------
     def _items(self) -> Iterator[tuple]:
@@ -176,11 +189,36 @@ class ImageDataset:
         rng.shuffle(buf)  # type: ignore[arg-type]
         yield from buf
 
+    def _materialize(self) -> None:
+        imgs, labels = [], []
+        for img, label in self._items():
+            imgs.append(img)
+            labels.append(label)
+        self._cache = (np.stack(imgs),
+                       np.asarray(labels, np.int32))
+
     # -- batches -----------------------------------------------------------
     def epoch(self, epoch_index: int = 0) -> Iterator[tuple]:
         """One pass over the (sharded) data, dropping the remainder
         (drop_remainder=True semantics, sagan/dataset.py:36)."""
         rng = np.random.default_rng((self.seed, epoch_index))
+
+        if self.cache_in_memory:
+            if self._cache is None:
+                self._materialize()
+            imgs, labels = self._cache
+
+            def cached_gen():
+                # exact Fisher–Yates permutation per epoch (strictly
+                # stronger than the streaming buffer shuffle, and still a
+                # pure function of (seed, epoch) — exact-resume safe)
+                order = rng.permutation(len(labels))
+                for i in range(len(labels) // self.batch_size):
+                    idx = order[i * self.batch_size:
+                                (i + 1) * self.batch_size]
+                    yield imgs[idx], labels[idx]
+
+            return _prefetch(cached_gen(), self.prefetch_depth)
 
         def gen():
             imgs = np.empty((self.batch_size, self.img_size, self.img_size, 3),
@@ -259,6 +297,7 @@ def get_dataset_and_info(config: dict):
             process_index=process_index,
             process_count=process_count,
             num_workers=config.get("data_workers", 4),
+            cache_in_memory=config.get("cache_dataset"),
         )
     config.update(ds.meta)
     return ds, config

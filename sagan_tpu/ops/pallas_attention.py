@@ -31,11 +31,16 @@ as needed.  The query block size is chosen so the kernel's VMEM
 footprint (dominated by the [G·BN, M] fp32 tiles — three of them live
 simultaneously in the backward) stays under ``VMEM_BUDGET``; this covers
 every shape the model families can request, including non-downsampled
-128px maps (N = M = 16384).  ``attention_fused`` falls back to the
-einsum reference for untileable shapes and for key sets so large that
-even an 8-row query block would not fit (M ≳ 100k, i.e. non-downsampled
-256px maps — XLA's own tiling handles those correctly, just without the
-fusion win).
+128px maps (N = M = 16384).
+
+Beyond that (non-downsampled 256px maps, N = M = 65536), the dispatch
+drops to the **flash path**: key-axis blocking with an online
+running-max/denominator softmax.  The forward emits per-row logsumexp;
+the backward runs as two kernels — dQ with the key axis innermost, and
+dK/dV with the query axis innermost — using the flash identity
+δᵢ = Σⱼ pᵢⱼ dpᵢⱼ = dOᵢ·Oᵢ so no kernel ever holds a full probability
+row.  ``attention_fused`` falls back to the einsum reference only for
+untileable shapes.
 """
 
 from __future__ import annotations
@@ -233,6 +238,252 @@ def _bwd_call(q, k, v, g, block_n, block_b, interpret=False):
 
 
 # --------------------------------------------------------------------------
+# flash path: key-axis blocking for key sets too large for VMEM residence
+# --------------------------------------------------------------------------
+
+
+def _flash_vmem_bytes(bn: int, bm: int, d: int, c: int) -> int:
+    """Per-batch-element resident bytes of the flash kernels: ~3 fp32
+    [BN, BM] tiles + q/g/o/dq row blocks + k/v/dk/dv key blocks +
+    acc/m/l scratch."""
+    tiles = 3 * bn * bm * 4
+    rows = 5 * bn * (d + c) * 4
+    keys = 4 * bm * (d + c) * 4
+    return tiles + rows + keys
+
+
+def _pick_flash_blocks(n: int, m: int, d: int, c: int):
+    for bm in (1024, 512, 256, 128):
+        if m % bm:
+            continue
+        for bn in (512, 256, 128):
+            if n % bn == 0 and _flash_vmem_bytes(bn, bm, d, c) <= VMEM_BUDGET:
+                return bn, bm
+    return 0, 0
+
+
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, mi, li,
+                      *, nk):
+    kidx = pl.program_id(2)
+
+    @pl.when(kidx == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc[...])
+        mi[...] = jnp.full_like(mi[...], -jnp.inf)
+        li[...] = jnp.zeros_like(li[...])
+
+    q = q_ref[...]                                 # [G, BN, D]
+    k = k_ref[...]                                 # [G, BM, D]
+    v = v_ref[...]                                 # [G, BM, C]
+    prec = _prec(q.dtype)
+    s = lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                        precision=prec)            # [G, BN, BM]
+    m_new = jnp.maximum(mi[...], jnp.max(s, axis=-1, keepdims=True))
+    corr = jnp.exp(mi[...] - m_new)
+    e = jnp.exp(s - m_new)
+    li[...] = li[...] * corr + jnp.sum(e, axis=-1, keepdims=True)
+    acc[...] = acc[...] * corr + lax.dot_general(
+        e.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec)
+    mi[...] = m_new
+
+    @pl.when(kidx == nk - 1)
+    def _():
+        o_ref[...] = (acc[...] / li[...]).astype(o_ref.dtype)
+        lse_ref[...] = mi[...] + jnp.log(li[...])
+
+
+def _flash_fwd(q, k, v, bn, bm, g, interpret=False):
+    b, n, d = q.shape
+    m, c = k.shape[1], v.shape[2]
+    nk = m // bm
+    grid = (b // g, n // bn, nk)
+    return pl.pallas_call(
+        functools.partial(_flash_fwd_kernel, nk=nk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((g, bn, d), lambda i, j, kk: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, bm, d), lambda i, j, kk: (i, kk, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, bm, c), lambda i, j, kk: (i, kk, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((g, bn, c), lambda i, j, kk: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, bn, 1), lambda i, j, kk: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, c), q.dtype),
+            # [B, N, 1]: a trailing unit lane keeps the block shape legal
+            # for Mosaic (last two dims must be (8,128)-divisible or
+            # equal to the array dims)
+            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((g, bn, c), jnp.float32),
+            pltpu.VMEM((g, bn, 1), jnp.float32),
+            pltpu.VMEM((g, bn, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _flash_dq_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref, dq_ref,
+                     dqa, delta, *, nk):
+    kidx = pl.program_id(2)
+    g = g_ref[...]                                 # [G, BN, C]
+
+    @pl.when(kidx == 0)
+    def _():
+        dqa[...] = jnp.zeros_like(dqa[...])
+        # flash identity: δᵢ = Σⱼ pᵢⱼ dpᵢⱼ = dOᵢ·Oᵢ
+        delta[...] = jnp.sum(g.astype(jnp.float32)
+                             * o_ref[...].astype(jnp.float32),
+                             axis=-1, keepdims=True)
+
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    prec = _prec(q.dtype)
+    s = lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                        precision=prec)            # [G, BN, BM]
+    p = jnp.exp(s - lse_ref[...])
+    dp = lax.dot_general(g, v, (((2,), (2,)), ((0,), (0,))),
+                         preferred_element_type=jnp.float32,
+                         precision=prec)           # [G, BN, BM]
+    dlog = (p * (dp - delta[...])).astype(k.dtype)
+    dqa[...] += lax.dot_general(dlog, k, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+
+    @pl.when(kidx == nk - 1)
+    def _():
+        dq_ref[...] = dqa[...].astype(dq_ref.dtype)
+
+
+def _flash_dkv_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref,
+                      dk_ref, dv_ref):
+    nidx = pl.program_id(2)
+    q = q_ref[...]                                 # [G, BN, D]
+    k = k_ref[...]                                 # [G, BM, D]
+    v = v_ref[...]                                 # [G, BM, C]
+    g = g_ref[...]                                 # [G, BN, C]
+    prec = _prec(q.dtype)
+    s = lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                        precision=prec)            # [G, BN, BM]
+    p = jnp.exp(s - lse_ref[...])
+    delta = jnp.sum(g.astype(jnp.float32) * o_ref[...].astype(jnp.float32),
+                    axis=-1, keepdims=True)        # [G, BN, 1]
+    dp = lax.dot_general(g, v, (((2,), (2,)), ((0,), (0,))),
+                         preferred_element_type=jnp.float32,
+                         precision=prec)           # [G, BN, BM]
+    dlog = (p * (dp - delta)).astype(k.dtype)
+
+    @pl.when(nidx == 0)
+    def _():
+        dk_ref[...] = jnp.zeros_like(dk_ref[...])
+        dv_ref[...] = jnp.zeros_like(dv_ref[...])
+
+    dk_ref[...] += lax.dot_general(
+        dlog, q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec)
+    dv_ref[...] += lax.dot_general(
+        p.astype(v.dtype), g, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec)
+
+
+def _flash_bwd(q, k, v, o, lse, g, bn, bm, gb, interpret=False):
+    b, n, d = q.shape
+    m, c = k.shape[1], v.shape[2]
+    nk = m // bm
+    row_specs = [
+        pl.BlockSpec((gb, bn, d), lambda i, j, kk: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((gb, bm, d), lambda i, j, kk: (i, kk, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((gb, bm, c), lambda i, j, kk: (i, kk, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((gb, bn, c), lambda i, j, kk: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((gb, bn, c), lambda i, j, kk: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((gb, bn, 1), lambda i, j, kk: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    dq = pl.pallas_call(
+        functools.partial(_flash_dq_kernel, nk=nk),
+        grid=(b // gb, n // bn, nk),
+        in_specs=row_specs,
+        out_specs=pl.BlockSpec((gb, bn, d), lambda i, j, kk: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((gb, bn, d), jnp.float32),
+            pltpu.VMEM((gb, bn, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, g, o, lse)
+
+    # dK/dV: query axis innermost, key-block outputs accumulate in place
+    kv_specs = [
+        pl.BlockSpec((gb, bn, d), lambda i, mm, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((gb, bm, d), lambda i, mm, j: (i, mm, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((gb, bm, c), lambda i, mm, j: (i, mm, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((gb, bn, c), lambda i, mm, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((gb, bn, c), lambda i, mm, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((gb, bn, 1), lambda i, mm, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    dk, dv = pl.pallas_call(
+        _flash_dkv_kernel,
+        grid=(b // gb, m // bm, n // bn),
+        in_specs=kv_specs,
+        out_specs=[
+            pl.BlockSpec((gb, bm, d), lambda i, mm, j: (i, mm, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, bm, c), lambda i, mm, j: (i, mm, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, m, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, m, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, g, o, lse)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _attention_flash(q, k, v, bn, bm, gb, interpret):
+    o, _lse = _flash_fwd(q, k, v, bn, bm, gb, interpret)
+    return o
+
+
+def _attention_flash_fwd(q, k, v, bn, bm, gb, interpret):
+    o, lse = _flash_fwd(q, k, v, bn, bm, gb, interpret)
+    return o, (q, k, v, o, lse)
+
+
+def _attention_flash_bwd(bn, bm, gb, interpret, res, g):
+    q, k, v, o, lse = res
+    return _flash_bwd(q, k, v, o, lse, g, bn, bm, gb, interpret)
+
+
+_attention_flash.defvjp(_attention_flash_fwd, _attention_flash_bwd)
+
+
+# --------------------------------------------------------------------------
 # public op with custom VJP
 # --------------------------------------------------------------------------
 
@@ -258,14 +509,17 @@ def attention_fused(q: jax.Array, k: jax.Array, v: jax.Array,
                     interpret: bool = False) -> jax.Array:
     """softmax(q @ kᵀ) @ v, fused.  q:[B,N,D] k:[B,M,D] v:[B,M,C].
 
-    Falls back to the einsum reference when N has no power-of-two block
-    divisor or when no query block keeps the kernel inside VMEM_BUDGET
-    (see module docstring)."""
+    Dispatch: the single-pass kernel when the whole key set fits the
+    VMEM budget; the flash (key-axis-blocked) kernels when it does not;
+    the einsum reference only for untileable shapes."""
     b, n, d = q.shape
     m, c = k.shape[1], v.shape[2]
     block_n = _pick_block(n, m, d, c)
-    if block_n == 0:
-        from .attention import attention_reference
-        return attention_reference(q, k, v)
-    block_b = _pick_batch_block(b, block_n, m, d, c)
-    return _attention_fused(q, k, v, block_n, block_b, interpret)
+    if block_n:
+        block_b = _pick_batch_block(b, block_n, m, d, c)
+        return _attention_fused(q, k, v, block_n, block_b, interpret)
+    bn, bm = _pick_flash_blocks(n, m, d, c)
+    if bn:
+        return _attention_flash(q, k, v, bn, bm, 1, interpret)
+    from .attention import attention_reference
+    return attention_reference(q, k, v)

@@ -576,6 +576,17 @@ class Trainer:
                     # per-epoch grads_norm/{var} (sagan/main.py:277-278)
                     scalars.update(self.grad_norm_summaries(grad_norms))
                 self.writer.scalars(scalars, epoch)
+                if config.get("summary_histograms"):
+                    # per-variable weight distributions (observability
+                    # extension beyond the reference; opt-in)
+                    for tag, tree in (("G", self.state.vars_g["params"]),
+                                      ("D", self.state.vars_d["params"])):
+                        host = jax.device_get(tree)
+                        self.writer.histograms(
+                            {f"hist/{tag}/{p}": np.ravel(a)
+                             for p, a in zip(self._tree_paths(host),
+                                             jax.tree.leaves(host))},
+                            epoch)
                 self.writer.flush()
             imgs_per_sec = (count * self.steps_per_call *
                             config["global_batch_size"] / epoch_time)

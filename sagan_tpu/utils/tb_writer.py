@@ -3,8 +3,9 @@
 Replaces ``tf.summary`` (/root/reference/sagan/main.py:274-278,322-339)
 without importing TensorFlow: events are protobuf ``Event`` messages in
 TFRecord framing (reusing our codec), so standard TensorBoard reads the
-output directly.  Supports scalar and image summaries — the two kinds the
-reference emits.
+output directly.  Supports scalar and image summaries — the two kinds
+the reference emits — plus histogram summaries (an observability
+extension for GAN weight/gradient distributions).
 """
 
 from __future__ import annotations
@@ -59,6 +60,29 @@ def _encode_image_value(tag: str, png: bytes, h: int, w: int) -> bytes:
     return bytes(v)
 
 
+def _encode_histogram_value(tag: str, values: np.ndarray,
+                            bins: int = 30) -> bytes:
+    """Summary.Value with a HistogramProto (field 5): min/max/num/sum/
+    sum_squares + packed bucket_limit/bucket arrays."""
+    x = np.asarray(values, np.float64).ravel()
+    counts, edges = np.histogram(x, bins=bins)
+    h = bytearray()
+    for fid, val in ((1, x.min() if x.size else 0.0),
+                     (2, x.max() if x.size else 0.0),
+                     (3, float(x.size)),
+                     (4, float(x.sum())),
+                     (5, float(np.square(x).sum()))):
+        h.append((fid << 3) | 1)                 # double
+        h += struct.pack("<d", float(val))
+    for fid, arr in ((6, edges[1:]), (7, counts.astype(np.float64))):
+        payload = b"".join(struct.pack("<d", float(a)) for a in arr)
+        _write_len_delimited(h, fid, payload)    # packed repeated double
+    v = bytearray()
+    _write_len_delimited(v, 1, tag.encode())
+    _write_len_delimited(v, 5, bytes(h))         # Summary.Value.histo
+    return bytes(v)
+
+
 def _wrap_summary(values: list[bytes]) -> bytes:
     s = bytearray()
     for val in values:
@@ -92,6 +116,17 @@ class SummaryWriter:
     def scalars(self, values: dict, step: int) -> None:
         summary = _wrap_summary(
             [_encode_scalar_value(tag, float(v)) for tag, v in values.items()])
+        self._w.write(_encode_event(time.time(), step=step, summary=summary))
+
+    def histogram(self, tag: str, values, step: int) -> None:
+        summary = _wrap_summary(
+            [_encode_histogram_value(tag, np.asarray(values))])
+        self._w.write(_encode_event(time.time(), step=step, summary=summary))
+
+    def histograms(self, values: dict, step: int) -> None:
+        summary = _wrap_summary(
+            [_encode_histogram_value(tag, np.asarray(v))
+             for tag, v in values.items()])
         self._w.write(_encode_event(time.time(), step=step, summary=summary))
 
     def image(self, tag: str, img: np.ndarray, step: int) -> None:

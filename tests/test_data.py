@@ -189,15 +189,39 @@ def test_parallel_multi_file_read_is_deterministic(tmp_path):
 
     d = make_synthetic_dataset(str(tmp_path / "det"), num=120,
                                img_size=8, num_classes=6, num_shards=4)
-    runs = []
-    for _ in range(3):
-        ds = ImageDataset(d, batch_size=8, shuffle_buffer=16, num_workers=4)
-        runs.append(np.concatenate([b[1] for b in ds.epoch(0)]))
-    assert runs[0].tolist() == runs[1].tolist() == runs[2].tolist()
-    # and a fresh reader mid-stream (resume) sees the same prefix
-    ds = ImageDataset(d, batch_size=8, shuffle_buffer=16, num_workers=4)
-    first5 = [b[1].copy() for _, b in zip(range(5), ds.epoch(0))]
-    np.testing.assert_array_equal(np.concatenate(first5), runs[0][:40])
+    for cache in (False, True):  # streaming round-robin AND cached path
+        runs = []
+        for _ in range(3):
+            ds = ImageDataset(d, batch_size=8, shuffle_buffer=16,
+                              num_workers=4, cache_in_memory=cache)
+            runs.append(np.concatenate([b[1] for b in ds.epoch(0)]))
+        assert runs[0].tolist() == runs[1].tolist() == runs[2].tolist()
+        # and a fresh reader mid-stream (resume) sees the same prefix
+        ds = ImageDataset(d, batch_size=8, shuffle_buffer=16,
+                          num_workers=4, cache_in_memory=cache)
+        first5 = [b[1].copy() for _, b in zip(range(5), ds.epoch(0))]
+        np.testing.assert_array_equal(np.concatenate(first5), runs[0][:40])
+
+
+def test_cached_epochs_match_streaming_content(tmp_path):
+    """cache_in_memory serves the same multiset as the streaming path,
+    reshuffled per epoch, with identical steps_per_epoch."""
+    from sagan_tpu.data.synthetic import make_synthetic_dataset
+
+    d = make_synthetic_dataset(str(tmp_path / "cache"), num=96, img_size=8,
+                               num_classes=6, num_shards=2)
+    stream = ImageDataset(d, batch_size=8, shuffle_buffer=4,
+                          cache_in_memory=False)
+    cached = ImageDataset(d, batch_size=8, shuffle_buffer=4,
+                          cache_in_memory=True)
+    assert stream.steps_per_epoch == cached.steps_per_epoch
+    ls = np.concatenate([b[1] for b in stream.epoch(0)])
+    lc0 = np.concatenate([b[1] for b in cached.epoch(0)])
+    lc1 = np.concatenate([b[1] for b in cached.epoch(1)])
+    assert sorted(ls.tolist()) == sorted(lc0.tolist())
+    assert lc0.tolist() != lc1.tolist()          # reshuffled across epochs
+    lc0b = np.concatenate([b[1] for b in cached.epoch(0)])
+    assert lc0.tolist() == lc0b.tolist()         # (seed, epoch) determinism
 
 
 def test_file_sharding_across_hosts(tmp_path):

@@ -97,8 +97,49 @@ def test_attention_vmem_guard_covers_model_shapes():
         bn = _pick_block(n, m, d, c)
         assert bn > 0, (n, m, d, c)
         assert _bwd_vmem_bytes(bn, m, d, c) <= VMEM_BUDGET
-    # non-downsampled 256px maps exceed any block's budget → fallback
+    # non-downsampled 256px maps exceed any single-pass block's budget →
+    # the flash (key-axis-blocked) path takes over
+    from sagan_tpu.ops.pallas_attention import _pick_flash_blocks
     assert _pick_block(65536, 65536, 16, 64) == 0
+    bn, bm = _pick_flash_blocks(65536, 65536, 16, 64)
+    assert bn > 0 and bm > 0
+
+
+@pytest.mark.parametrize("n,m,bn,bm", [(512, 256, 128, 128),
+                                       (256, 512, 256, 128)])
+def test_flash_path_matches_reference(n, m, bn, bm):
+    """Key-axis-blocked (flash) kernels vs oracle: multiple key blocks,
+    multiple query blocks, fwd + all grads."""
+    from sagan_tpu.ops.pallas_attention import _attention_flash
+
+    q, k, v = rand_qkv(b=2, n=n, m=m, d=8, c=16)
+    ref = attention_reference(q, k, v)
+    out = _attention_flash(q, k, v, bn, bm, 1, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(_attention_flash(q, k, v, bn, bm, 1, True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3,
+                                   err_msg=f"d{name} mismatch")
+
+
+def test_flash_path_batch_blocked():
+    from sagan_tpu.ops.pallas_attention import _attention_flash
+
+    q, k, v = rand_qkv(b=4, n=256, m=256, d=4, c=8)
+    ref = attention_reference(q, k, v)
+    out = _attention_flash(q, k, v, 128, 128, 2, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
 
 
 def test_fused_large_128px_map_matches_reference():

@@ -348,23 +348,27 @@ def test_event_file_has_grad_norm_and_image_summaries(data16, tmp_path):
 
     cfg = tiny_config(data16, num_devices=2, epoch=1,
                       log_dir=str(tmp_path / "logs"),
-                      summary_step_freq=2)
+                      summary_step_freq=2, summary_histograms=True)
     tr = Trainer(cfg)
     tr.train()
 
     logdir = cfg["log_dir"]
     fname = [f for f in os.listdir(logdir) if "tfevents" in f][0]
-    scalar_tags, image_tags = set(), set()
+    scalar_tags, image_tags, histo_tags = set(), set(), set()
     for ev in tf.compat.v1.train.summary_iterator(
             os.path.join(logdir, fname)):
         for v in ev.summary.value:
             if v.HasField("image"):
                 image_tags.add(v.tag)
+            elif v.HasField("histo"):
+                histo_tags.add(v.tag)
             elif v.HasField("simple_value"):
                 scalar_tags.add(v.tag)
     assert any(t.startswith("grads_norm/G/") for t in scalar_tags), \
         sorted(scalar_tags)
     assert any(t.startswith("vars/G/") for t in scalar_tags)
+    assert any(t.startswith("hist/G/") for t in histo_tags)
+    assert any(t.startswith("hist/D/") for t in histo_tags)
     assert "sample" in image_tags
     # in-epoch image summaries: more than just the per-epoch write
     img_events = sum(

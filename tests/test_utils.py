@@ -41,6 +41,34 @@ def test_tb_events_readable_by_tensorflow(tmp_path):
     np.testing.assert_array_equal(decoded, img)
 
 
+def test_tb_histograms_readable_by_tensorflow(tmp_path):
+    tf = pytest.importorskip("tensorflow")
+    logdir = str(tmp_path / "logs")
+    rng = np.random.default_rng(0)
+    data = rng.normal(2.0, 3.0, 1000)
+    w = SummaryWriter(logdir)
+    w.histogram("hist/w", data, step=7)
+    w.histograms({"hist/a": np.arange(10.0)}, step=8)
+    w.close()
+
+    fname = [f for f in os.listdir(logdir) if "tfevents" in f][0]
+    histos = {}
+    for ev in tf.compat.v1.train.summary_iterator(
+            os.path.join(logdir, fname)):
+        for v in ev.summary.value:
+            if v.HasField("histo"):
+                histos[(v.tag, ev.step)] = v.histo
+    h = histos[("hist/w", 7)]
+    assert h.num == 1000
+    assert h.min == pytest.approx(data.min())
+    assert h.max == pytest.approx(data.max())
+    assert h.sum == pytest.approx(data.sum())
+    assert h.sum_squares == pytest.approx(np.square(data).sum())
+    assert sum(h.bucket) == 1000 and len(h.bucket_limit) == len(h.bucket)
+    a = histos[("hist/a", 8)]
+    assert a.num == 10 and a.min == 0.0 and a.max == 9.0
+
+
 def test_denormalize_range():
     x = np.array([-1.0, 0.0, 1.0])
     np.testing.assert_array_equal(denormalize(x), [0, 127, 255])

@@ -100,6 +100,53 @@ def check_attention(results, dtype, tol_fwd, tol_bwd):
               f"ok={ok}", flush=True)
 
 
+def check_flash(results, dtype, tol_fwd, tol_bwd):
+    """The key-axis-blocked (flash) kernels, exercised directly at a
+    mid-size shape (the dispatch only selects them beyond-VMEM, where
+    the einsum oracle itself would be too large to run)."""
+    from sagan_tpu.ops.attention import attention_reference
+    from sagan_tpu.ops.pallas_attention import _attention_flash
+
+    b, n, m, d, c = 2, 4096, 2048, 8, 32
+    bn, bm = 512, 512
+    key = jax.random.PRNGKey(7)
+    kq, kk, kv, kg = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (b, n, d), dtype)
+    k = jax.random.normal(kk, (b, m, d), dtype)
+    v = jax.random.normal(kv, (b, m, c), dtype)
+    ct = jax.random.normal(kg, (b, n, c), dtype)
+
+    out_f = jax.device_get(jax.jit(
+        lambda q, k, v: _attention_flash(q, k, v, bn, bm, 1, False))(q, k, v))
+    out_o = jax.device_get(jax.jit(attention_reference)(
+        q.astype(jnp.float32), k.astype(jnp.float32),
+        v.astype(jnp.float32)))
+    abs_f, rel_f = _err(out_f, out_o)
+
+    gf = jax.device_get(jax.jit(jax.grad(
+        lambda q, k, v: jnp.sum(_attention_flash(q, k, v, bn, bm, 1, False)
+                                * ct), (0, 1, 2)))(q, k, v))
+    go = jax.device_get(jax.jit(jax.grad(
+        lambda q, k, v: jnp.sum(attention_reference(
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            v.astype(jnp.float32)) * ct.astype(jnp.float32)),
+        (0, 1, 2)))(q, k, v))
+    grads, ok = {}, rel_f <= tol_fwd
+    for nm, a, bb in zip("qkv", gf, go):
+        ab, rel = _err(a, bb)
+        grads[f"d{nm}_max_abs"] = ab
+        grads[f"d{nm}_max_rel"] = rel
+        ok = ok and rel <= tol_bwd
+    results.append({
+        "kernel": "attention_flash", "case": f"flash_bn{bn}_bm{bm}",
+        "dtype": str(np.dtype(dtype)), "shape": [b, n, m, d, c],
+        "fwd_max_abs": abs_f, "fwd_max_rel": rel_f,
+        **grads, "tol_fwd": tol_fwd, "tol_bwd": tol_bwd, "ok": bool(ok),
+    })
+    print(f"attention_flash {np.dtype(dtype)}: fwd_rel={rel_f:.2e} ok={ok}",
+          flush=True)
+
+
 def sn_weight_shapes():
     """Every SN weight shape in both model families at the benchmark
     configs (church64 vanilla gf/df 16; imagenet128 resnet gf/df 64)."""
@@ -169,6 +216,8 @@ def main():
     # amplify — 2% relative on the max element is the expected band
     check_attention(results, jnp.float32, tol_fwd=1e-4, tol_bwd=1e-3)
     check_attention(results, jnp.bfloat16, tol_fwd=2e-2, tol_bwd=5e-2)
+    check_flash(results, jnp.float32, tol_fwd=1e-4, tol_bwd=1e-3)
+    check_flash(results, jnp.bfloat16, tol_fwd=2e-2, tol_bwd=5e-2)
     check_spectral_norm(results, tol=1e-4)
 
     payload = {
