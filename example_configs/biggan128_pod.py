@@ -1,6 +1,9 @@
 # BigGAN-style large-batch 128x128: batch 2048 data-parallel over a pod,
 # cross-replica BN — BASELINE.json config #5.  batch_size is per device:
 # 2048 global over a v5e-256 slice (or scale num_devices down).
+# Optional: "model_parallel": 2 switches to a 2-D (data, model) mesh —
+# wide kernels column-shard over the model axis under GSPMD (use when a
+# scaled-up gf_dim/batch no longer fits one chip's HBM).
 output_name = "biggan128_pod_b2048"
 config = {
     "num_devices": None,           # all devices in the slice

@@ -1,0 +1,159 @@
+"""Offline sampling / serving CLI: checkpoint → images.
+
+The reference has no inference entry point at all — generation happens
+only as a side effect of training (fixed-latent grids,
+/root/reference/sagan/main.py:289-291,300-320).  This CLI completes the
+deployment story: load the latest checkpoint for a config (EMA generator
+when the run tracked one), sample in jitted batches on the accelerator,
+and write PNG grids and/or an npz of uint8 images.
+
+    python -m sagan_tpu.generate --config_path example_configs/foo.py \
+        [--num 64] [--batch 64] [--seed 0] [--truncation 0.5] \
+        [--class_id 207] [--out samples/foo] [--format png|npz|both]
+
+``--truncation t`` applies the BigGAN truncation trick (z drawn from a
+standard normal truncated to [-t, t]; smaller t → higher fidelity, lower
+diversity).  ``--class_id`` pins the class for conditional models
+(default: random classes, the training-time sampler's behavior).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from .utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import get_discriminator, get_generator
+from .train.optim import make_gan_optimizers
+from .train.trainer import TrainState, build_sample_fn
+from .utils.config import load_config_file, resolve_config
+from .utils.images import save_image_grid
+
+
+def restore_eval_state(config: dict):
+    """Latest checkpoint → (generator, eval variables {params, aux}).
+
+    Rebuilds the exact TrainState template the Trainer checkpoints
+    (G+D variables, both optimizer states, step, RNG, optional EMA) so
+    Orbax can restore structurally, then selects the EMA parameters for
+    evaluation when the run tracked them.
+    """
+    from .train.checkpoint import CheckpointManager
+
+    ckpt_dir = config.get("ckpt_dir")
+    if not ckpt_dir or not os.path.isdir(ckpt_dir):
+        raise FileNotFoundError(
+            f"no checkpoint directory at {ckpt_dir!r} — train first "
+            f"(python -m sagan_tpu.main --config_path ...)")
+
+    gen = get_generator(config)
+    disc = get_discriminator(config)
+    (opt_g, _), (opt_d, _) = make_gan_optimizers(config, steps_per_epoch=1)
+    key = jax.random.PRNGKey(config.get("seed", 0))
+    kg, kd, _kz, _kl, krest = jax.random.split(key, 5)
+    vars_g = gen.init(kg)
+    vars_d = disc.init(kd)
+    template = TrainState(
+        vars_g=vars_g, vars_d=vars_d,
+        opt_g=opt_g.init(vars_g["params"]),
+        opt_d=opt_d.init(vars_d["params"]),
+        step=jnp.int32(0), rng=krest,
+        ema_g=(jax.tree.map(jnp.copy, vars_g["params"])
+               if config.get("g_ema_decay", 0.0) > 0 else None))
+    mgr = CheckpointManager(ckpt_dir)
+    state = mgr.restore_latest(template)
+    mgr.close()
+    if state is None:
+        raise FileNotFoundError(f"no checkpoints under {ckpt_dir!r}")
+    print(f"restored step {int(jax.device_get(state.step))} from {ckpt_dir}"
+          + (" (EMA generator)" if state.ema_g is not None else ""))
+    eval_vars = ({"params": state.ema_g, "aux": state.vars_g["aux"]}
+                 if state.ema_g is not None else state.vars_g)
+    return gen, eval_vars
+
+
+def sample_images(gen, eval_vars, num: int, batch: int, z_dim: int,
+                  num_classes: int, seed: int = 0, truncation: float = 0.0,
+                  class_id: int = -1) -> np.ndarray:
+    """Generate ``num`` images → float array [num, H, W, 3] in [-1, 1]."""
+    sample_fn = build_sample_fn(gen, mesh=None)
+    key = jax.random.PRNGKey(seed)
+    out = []
+    for begin in range(0, num, batch):
+        n = min(batch, num - begin)
+        key, kz, kl = jax.random.split(key, 3)
+        if truncation and truncation > 0:
+            z = jax.random.truncated_normal(
+                kz, -truncation, truncation, (batch, z_dim))
+        else:
+            z = jax.random.normal(kz, (batch, z_dim))
+        if class_id >= 0:
+            labels = jnp.full((batch,), class_id, jnp.int32)
+        else:
+            labels = jax.random.randint(kl, (batch,), 0, num_classes)
+        imgs = sample_fn(eval_vars, z, labels)
+        out.append(np.asarray(jax.device_get(imgs))[:n])
+    return np.concatenate(out)[:num]
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="sample images from a trained sagan-tpu checkpoint")
+    ap.add_argument("--config_path", required=True)
+    ap.add_argument("--num", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--truncation", type=float, default=0.0,
+                    help="truncation-trick threshold (0 = off)")
+    ap.add_argument("--class_id", type=int, default=-1,
+                    help="fix the class for conditional models")
+    ap.add_argument("--out", default=None,
+                    help="output dir (default samples/<config name>)")
+    ap.add_argument("--format", choices=("png", "npz", "both"),
+                    default="png")
+    args = ap.parse_args(argv)
+
+    config = resolve_config(load_config_file(args.config_path))
+    if "img_size" not in config or "num_classes" not in config:
+        # model geometry lives in the dataset metadata, merged into the
+        # config at train time (/root/reference/sagan/dataset.py:134-136)
+        from .data.tfrecord import load_metadata
+        try:
+            config.update(load_metadata(config["data_path"]))
+        except FileNotFoundError:
+            raise SystemExit(
+                f"config lacks img_size/num_classes and no "
+                f"metadata.pickle under {config['data_path']!r}")
+    gen, eval_vars = restore_eval_state(config)
+    imgs = sample_images(
+        gen, eval_vars, num=args.num, batch=args.batch,
+        z_dim=config["z_dim"],
+        num_classes=max(1, config.get("num_classes", 1)),
+        seed=args.seed, truncation=args.truncation, class_id=args.class_id)
+
+    out_dir = args.out or os.path.join(
+        "samples", os.path.splitext(os.path.basename(args.config_path))[0])
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    if args.format in ("png", "both"):
+        path = os.path.join(out_dir, f"samples_seed{args.seed}.png")
+        save_image_grid(imgs, path)
+        written.append(path)
+    if args.format in ("npz", "both"):
+        path = os.path.join(out_dir, f"samples_seed{args.seed}.npz")
+        u8 = np.clip(imgs * 127.5 + 127.5, 0, 255).astype(np.uint8)
+        np.savez_compressed(path, images=u8)
+        written.append(path)
+    print(f"wrote {args.num} samples: " + ", ".join(written))
+    return written
+
+
+if __name__ == "__main__":
+    main()

@@ -24,10 +24,20 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
-def make_mesh(num_devices: int | None = None, devices=None) -> Mesh:
-    """1-D data-parallel mesh. ``num_devices=None`` → all local devices."""
+def make_mesh(num_devices: int | None = None, devices=None,
+              model_parallel: int = 1) -> Mesh:
+    """Device mesh over ICI.
+
+    ``model_parallel=1`` (default): the proven 1-D data-parallel mesh.
+    ``model_parallel=m > 1``: a 2-D ``(data, model)`` mesh —
+    ``num_devices`` stays the TOTAL device count; the data axis is
+    ``num_devices // m``.  The model axis shards the wide weight
+    matrices/conv filters (see ``param_shardings``); XLA/GSPMD inserts
+    the tensor-parallel collectives.  ``num_devices=None`` → all local.
+    """
     if devices is None:
         devices = jax.devices()
         if num_devices is not None:
@@ -35,7 +45,45 @@ def make_mesh(num_devices: int | None = None, devices=None) -> Mesh:
                 raise ValueError(
                     f"requested {num_devices} devices, have {len(devices)}")
             devices = devices[:num_devices]
-    return Mesh(np.asarray(devices), (DATA_AXIS,))
+    n = len(devices)
+    if model_parallel <= 1:
+        return Mesh(np.asarray(devices), (DATA_AXIS,))
+    if n % model_parallel:
+        raise ValueError(
+            f"{n} devices not divisible by model_parallel={model_parallel}")
+    grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def model_parallel_size(mesh: Mesh) -> int:
+    return (mesh.shape[MODEL_AXIS]
+            if MODEL_AXIS in mesh.axis_names else 1)
+
+
+def param_shardings(mesh: Mesh, tree, min_size: int = 4096):
+    """Sharding pytree for a parameter/optimizer tree on a 2-D mesh.
+
+    The rule is shape-based so it maps identically over params, Adam
+    moments, and EMA copies: any leaf with ndim >= 2 whose trailing
+    (output-feature) dimension divides evenly over the model axis — and
+    that is big enough to be worth sharding — is split on that axis
+    (Megatron-style column sharding of Dense/Conv/ConvTranspose/Embedding
+    kernels, all stored [*, cout] here); everything else (biases, BN
+    scales, SN power-iteration vectors, scalars) is replicated.  On a
+    1-D mesh everything is replicated (the DP path).
+    """
+    m = model_parallel_size(mesh)
+
+    def rule(leaf):
+        leaf = jax.eval_shape(lambda x: x, leaf)  # works for arrays too
+        if (m > 1 and leaf.ndim >= 2 and leaf.shape[-1] % m == 0
+                and leaf.size >= min_size):
+            spec = P(*([None] * (leaf.ndim - 1) + [MODEL_AXIS]))
+        else:
+            spec = P()
+        return NamedSharding(mesh, spec)
+
+    return jax.tree.map(rule, tree)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -163,19 +163,26 @@ NUM_UNITS = 94  # conv/bn pairs in InceptionV3
 # --------------------------------------------------------------------------
 
 
-def export_weights_npz(out_path: str, source=None) -> None:
+def export_weights_npz(out_path: str, source=None,
+                       include_top: bool = False) -> None:
     """Dump InceptionV3 conv/BN weights to npz in creation order.
 
     ``source``: a tf.keras Model, a Keras ``.h5`` weights path, or None
     (builds ``tf.keras.applications.InceptionV3(weights='imagenet')`` —
     requires network access or a cached download).
+
+    ``include_top=True`` additionally exports the 1000-way classifier
+    Dense (``top_w``/``top_b``) — needed for Inception Score (the
+    upstream SAGAN paper's second metric, arXiv:1805.08318 Table 1;
+    the reference computes neither metric in practice).
     """
     import tensorflow as tf  # tooling-only dependency
 
     if source is None or isinstance(source, str):
         weights = "imagenet" if source is None else None
         model = tf.keras.applications.InceptionV3(
-            include_top=False, weights=weights, input_shape=(299, 299, 3))
+            include_top=include_top, weights=weights,
+            input_shape=(299, 299, 3) if not include_top else None)
         if isinstance(source, str):
             model.load_weights(source)
     else:
@@ -206,6 +213,10 @@ def export_weights_npz(out_path: str, source=None) -> None:
         out[f"beta_{i}"] = beta
         out[f"mean_{i}"] = mean
         out[f"var_{i}"] = var
+    for layer in model.layers:
+        if isinstance(layer, tf.keras.layers.Dense):  # classifier top
+            out["top_w"] = layer.kernel.numpy()
+            out["top_b"] = layer.bias.numpy()
     np.savez(out_path, **out)
 
 
@@ -253,3 +264,41 @@ class InceptionV3Features:
     def __call__(self, images) -> np.ndarray:
         x = jnp.asarray(images, jnp.float32)
         return np.asarray(jax.device_get(self._fwd(self.params, x)))
+
+
+class InceptionV3Classifier:
+    """Inception-Score backbone: resize → InceptionV3 features → the
+    exported 1000-way classifier Dense → class probabilities [B, 1000].
+
+    Requires an npz exported with ``export_weights_npz(include_top=True)``
+    (``top_w``/``top_b`` present); the feature trunk is the same
+    creation-order port the FID extractor uses.
+    """
+
+    def __init__(self, weights_path: str, resize_to: int = 299):
+        self.params = load_weights_npz(weights_path)
+        data = np.load(weights_path)
+        if "top_w" not in data:
+            raise ValueError(
+                f"{weights_path} has no classifier top — re-export with "
+                f"export_weights_npz(include_top=True)")
+        top = (jnp.asarray(data["top_w"]), jnp.asarray(data["top_b"]))
+        import hashlib
+        with open(weights_path, "rb") as f:
+            digest = hashlib.sha1(f.read(1 << 20)).hexdigest()[:8]
+        self.cache_tag = f"inception_cls{resize_to}_{digest}"
+
+        @jax.jit
+        def fwd(params, top, x):
+            if resize_to and x.shape[1] != resize_to:
+                x = jax.image.resize(
+                    x, (x.shape[0], resize_to, resize_to, 3), "bilinear")
+            feats = inception_v3_features(params, x)
+            w, b = top
+            return jax.nn.softmax(feats @ w + b, axis=-1)
+
+        self._fwd = functools.partial(fwd, self.params, top)
+
+    def __call__(self, images) -> np.ndarray:
+        x = jnp.asarray(images, jnp.float32)
+        return np.asarray(jax.device_get(self._fwd(x)))

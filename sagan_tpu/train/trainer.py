@@ -41,7 +41,8 @@ from jax.sharding import PartitionSpec as P
 from ..data.loader import get_dataset_and_info
 from ..models import get_discriminator, get_generator
 from ..ops.losses import get_loss
-from ..parallel.mesh import DATA_AXIS, make_mesh, replicate, shard_batch
+from ..parallel.mesh import (DATA_AXIS, make_mesh, model_parallel_size,
+                             param_shardings, replicate, shard_batch)
 from ..utils.images import save_image_grid
 from ..utils.tb_writer import SummaryWriter
 from .optim import make_gan_optimizers
@@ -57,7 +58,8 @@ class TrainState(NamedTuple):
     ema_g: Any = None   # EMA of G params (None when g_ema_decay == 0)
 
 
-def build_train_step(gen, disc, opt_g, opt_d, config, mesh):
+def build_train_step(gen, disc, opt_g, opt_d, config, mesh,
+                     state_shardings=None):
     """Returns jitted (state, images_u8, labels) -> (state, metrics).
 
     ``config['steps_per_call'] = K > 1`` fuses K consecutive training
@@ -68,6 +70,21 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh):
     identical to K sequential calls: the per-step RNG is folded from the
     step counter, which the scan increments exactly as the host loop
     would.  Per-call metrics are the mean over the K steps.
+
+    Two parallelism modes, chosen by the mesh:
+
+    * 1-D ``(data,)`` mesh — explicit SPMD: the step runs under
+      ``shard_map``; gradients/BN moments are ``lax.pmean``-combined and
+      per-replica RNG is folded from ``axis_index`` (the proven DP path,
+      the analog of the reference's MirroredStrategy).
+    * 2-D ``(data, model)`` mesh — GSPMD: the same step function traced
+      over *global* arrays under ``jax.jit`` with sharding annotations
+      (``state_shardings`` from ``parallel.mesh.param_shardings``: wide
+      kernels column-sharded over ``model``, batch over ``data``); XLA
+      inserts every collective (grad all-reduces over ``data``,
+      tensor-parallel gathers over ``model``).  Cross-replica BN and the
+      global-batch loss scaling are automatic here: the traced batch IS
+      the global batch.
     """
     z_dim = config["z_dim"]
     num_classes = max(1, config.get("num_classes", 1))
@@ -79,7 +96,8 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh):
     random_flip = config.get("random_flip", False)
     # (the SN backend — XLA vs fused Pallas — is per-model config, set
     # by the model factories via nn.layers.set_sn_backend)
-    axis = DATA_AXIS
+    gspmd = model_parallel_size(mesh) > 1
+    axis = None if gspmd else DATA_AXIS
 
     def sample_latents(key, batch):
         kz, kl = jax.random.split(key)
@@ -93,7 +111,10 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh):
         images = images_u8.astype(jnp.float32) * (2.0 / 255.0) - 1.0
 
         step_key = jax.random.fold_in(state.rng, state.step)
-        replica_key = jax.random.fold_in(step_key, lax.axis_index(axis))
+        # per-replica RNG under shard_map; under GSPMD the step traces
+        # over the global batch, so one stream covers all devices
+        replica_key = (step_key if axis is None else
+                       jax.random.fold_in(step_key, lax.axis_index(axis)))
         # Disjoint per-purpose streams: folding raw integers off one key
         # risks collisions (a flip fold of 7 would coincide with the
         # D-iteration-7 latents at update_ratio >= 8), so split instead.
@@ -143,8 +164,9 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh):
 
             (loss_d, aux_d), grads_d = jax.value_and_grad(
                 d_loss, has_aux=True)(vars_d["params"], vars_d["aux"])
-            grads_d = lax.pmean(grads_d, axis)
-            loss_d = lax.pmean(loss_d, axis)
+            if axis is not None:
+                grads_d = lax.pmean(grads_d, axis)
+                loss_d = lax.pmean(loss_d, axis)
             updates, opt_d_state = opt_d.update(grads_d, opt_d_state,
                                                 vars_d["params"])
             vars_d = {"params": optax.apply_updates(vars_d["params"],
@@ -164,8 +186,9 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh):
 
         (loss_g, (aux_g2, aux_d2)), grads_g = jax.value_and_grad(
             g_loss, has_aux=True)(vars_g["params"], vars_g["aux"])
-        grads_g = lax.pmean(grads_g, axis)
-        loss_g = lax.pmean(loss_g, axis)
+        if axis is not None:
+            grads_g = lax.pmean(grads_g, axis)
+            loss_g = lax.pmean(loss_g, axis)
         updates, opt_g_state = opt_g.update(grads_g, opt_g_state,
                                             vars_g["params"])
         vars_g = {"params": optax.apply_updates(vars_g["params"], updates),
@@ -215,6 +238,21 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh):
     else:
         fn, batch_spec = step_fn, P(DATA_AXIS)
 
+    if gspmd:
+        # GSPMD: trace over global arrays; annotate in/out shardings and
+        # let XLA place the data-parallel reductions and the
+        # tensor-parallel (model-axis) gathers.  Pinning out_shardings to
+        # the input state shardings keeps the donated state's layout
+        # fixed across steps (no reshard/recompile ping-pong).
+        from jax.sharding import NamedSharding
+        batch_sh = NamedSharding(mesh, batch_spec)
+        kwargs = {}
+        if state_shardings is not None:
+            kwargs = dict(
+                in_shardings=(state_shardings, batch_sh, batch_sh),
+                out_shardings=(state_shardings, NamedSharding(mesh, P())))
+        return jax.jit(fn, donate_argnums=(0,), **kwargs)
+
     sharded = jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(), batch_spec, batch_spec),
@@ -243,12 +281,24 @@ class Trainer:
         config = self.config
 
         num_devices = config.get("num_devices") or len(jax.devices())
-        self.mesh = make_mesh(num_devices)
-        n = self.mesh.size
+        mp = config.get("model_parallel", 1)
+        self.mesh = make_mesh(num_devices, model_parallel=mp)
+        if mp > 1:
+            # GSPMD path: Pallas kernels have no SPMD partitioning rules,
+            # so route attention/SN through the XLA (einsum) backends —
+            # the model-parallel configs are MXU-heavy where those are
+            # strong anyway.
+            if config.get("use_pallas") or config.get("use_pallas_sn"):
+                print("model_parallel > 1: forcing the XLA attention/SN "
+                      "backends (Pallas kernels are unpartitionable "
+                      "under GSPMD)", flush=True)
+            config["use_pallas"] = False
+            config.pop("use_pallas_sn", None)
+        n = self.mesh.shape[DATA_AXIS]
         if config["global_batch_size"] % n:
             raise ValueError(
                 f"global_batch_size {config['global_batch_size']} not "
-                f"divisible by {n} devices")
+                f"divisible by the {n}-wide data axis")
 
         self.steps_per_call = max(1, config.get("steps_per_call", 1))
         self.steps_per_epoch = (self.ds_train.steps_per_epoch //
@@ -283,7 +333,10 @@ class Trainer:
             ema_g=(jax.tree.map(jnp.copy, vars_g["params"])
                    if ema_decay > 0 else None),
         )
-        self.state = replicate(self.mesh, state)
+        self.state_shardings = (param_shardings(self.mesh, state)
+                                if mp > 1 else None)
+        self.state = (jax.device_put(state, self.state_shardings)
+                      if mp > 1 else replicate(self.mesh, state))
         if config.get("print_variables", True):
             self._print_variable_names()
 
@@ -295,7 +348,7 @@ class Trainer:
 
         self.train_step = build_train_step(
             self.generator, self.discriminator, self.opt_g, self.opt_d,
-            config, self.mesh)
+            config, self.mesh, state_shardings=self.state_shardings)
         self.sample_fn = build_sample_fn(self.generator, self.mesh)
 
         self.writer = None
@@ -309,7 +362,9 @@ class Trainer:
                                               max_to_keep=10)
             restored = self.ckpt_mgr.restore_latest(self.state)
             if restored is not None:
-                self.state = replicate(self.mesh, restored)
+                self.state = (jax.device_put(restored, self.state_shardings)
+                              if self.state_shardings is not None
+                              else replicate(self.mesh, restored))
                 print(f"Restored from checkpoint at step "
                       f"{int(self.state.step)}")
             else:
@@ -619,6 +674,15 @@ class Trainer:
                 if self.writer:
                     self.writer.scalar("FID", fid, step)
                     self.writer.flush()
+                if config.get("inception_score"):
+                    # IS rides the FID cadence (the paper's metric pair)
+                    from .iscore import inception_score_for_trainer
+                    is_mean, is_std = inception_score_for_trainer(self)
+                    print(f"epoch {epoch}: IS = {is_mean:.2f} "
+                          f"± {is_std:.2f}", flush=True)
+                    if self.writer:
+                        self.writer.scalar("IS", is_mean, step)
+                        self.writer.flush()
 
         if self.ckpt_mgr:
             self.ckpt_mgr.wait()

@@ -88,5 +88,11 @@ def resolve_config(config: dict, num_local_devices: int | None = None) -> dict:
         width = len(gpus) if gpus else available
         width = min(width, available)
     cfg["num_devices"] = width
-    cfg.setdefault("global_batch_size", cfg["batch_size"] * width)
+    mp = cfg.setdefault("model_parallel", 1)
+    if mp < 1 or width % mp:
+        raise ValueError(
+            f"model_parallel={mp} must divide num_devices={width}")
+    # per-device batch × data-parallel width (sagan/main.py:358 semantics;
+    # the model axis replicates the batch, it doesn't multiply it)
+    cfg.setdefault("global_batch_size", cfg["batch_size"] * (width // mp))
     return cfg

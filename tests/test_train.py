@@ -217,7 +217,8 @@ def test_dryrun_multichip_32_wide_subprocess():
         [sys.executable, os.path.join(repo, "__graft_entry__.py"), "32"],
         capture_output=True, text=True, env=env, cwd=repo, timeout=600)
     assert proc.returncode == 0, proc.stderr[-2000:]
-    assert "dryrun_multichip(32): ok" in proc.stdout
+    assert "dryrun_multichip(32): dp ok" in proc.stdout
+    assert "dryrun_multichip(32): dp x tp (mesh 16x2" in proc.stdout
 
 
 def test_steps_per_call_matches_sequential_steps(data16):
