@@ -4,6 +4,9 @@
 # Optional: "model_parallel": 2 switches to a 2-D (data, model) mesh —
 # wide kernels column-shard over the model axis under GSPMD (use when a
 # scaled-up gf_dim/batch no longer fits one chip's HBM).
+# Optional: "grad_accum_steps": A keeps the 2048 effective batch on a
+# small slice (set batch_size = 2048/num_devices and A to shrink
+# activation memory A-fold).
 output_name = "biggan128_pod_b2048"
 config = {
     "num_devices": None,           # all devices in the slice

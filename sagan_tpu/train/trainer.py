@@ -94,6 +94,7 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh,
     fuse_d = config.get("fuse_d_batches", True)
     summary_var = config.get("summary_var", True)
     random_flip = config.get("random_flip", False)
+    accum = config.get("grad_accum_steps", 1)
     # (the SN backend — XLA vs fused Pallas — is per-model config, set
     # by the model factories via nn.layers.set_sn_backend)
     gspmd = model_parallel_size(mesh) > 1
@@ -130,40 +131,81 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh,
         vars_g, vars_d = state.vars_g, state.vars_d
         opt_g_state, opt_d_state = state.opt_g, state.opt_d
 
+        if batch % accum:
+            raise ValueError(
+                f"grad_accum_steps={accum} must divide the "
+                f"{'global' if axis is None else 'per-replica'} "
+                f"batch {batch}")
+        micro = batch // accum
+        if accum > 1:
+            # gradient accumulation: the (per-replica) batch splits into
+            # `accum` micro-batches; grads are averaged over them before
+            # one optimizer update, so the *effective* batch matches the
+            # config while activation memory scales with batch/accum —
+            # how the pod-scale batch-2048 configs run on small slices.
+            # (BN normalizes per micro-batch; documented in PARITY.md.)
+            images_m = images.reshape(accum, micro, *images.shape[1:])
+            labels_m = labels.reshape(accum, micro)
+
+        def d_loss(params_d, aux_d, imgs, lbls, fake, fl):
+            b = imgs.shape[0]
+            vd = {"params": params_d, "aux": aux_d}
+            if fuse_d:
+                # Real and fake batches share one D forward
+                # (concatenated on the batch axis): identical math —
+                # both D families have no batch-coupled layers — and
+                # half the kernel dispatches of the reference's two
+                # separate calls (sagan/main.py:181-182), the hottest
+                # region of the step (SURVEY.md §3.2). +25% step
+                # throughput measured on v5e.
+                both = jnp.concatenate([imgs.astype(fake.dtype), fake], 0)
+                both_labels = jnp.concatenate([lbls, fl], 0)
+                out, aux2 = disc(vd, both, both_labels, train=True,
+                                 axis=axis)
+                out_real, out_fake = out[:b], out[b:]
+            else:
+                out_real, aux1 = disc(vd, imgs, lbls, train=True,
+                                      axis=axis)
+                vd = {"params": params_d, "aux": aux1}
+                out_fake, aux2 = disc(vd, fake, fl, train=True, axis=axis)
+            return dloss_fn(out_real, out_fake), aux2
+
         # ---- D updates (update_ratio x, sagan/main.py:175-192) ----------
         d_loss_acc = jnp.float32(0.0)
         for i in range(update_ratio):
-            z, fl = sample_latents(jax.random.fold_in(d_key, i), batch)
-            fake, aux_g = gen(vars_g, z, fl, train=True, axis=axis)
-            fake = lax.stop_gradient(fake)
-            vars_g = {"params": vars_g["params"], "aux": aux_g}
+            iter_key = jax.random.fold_in(d_key, i)
+            if accum == 1:
+                z, fl = sample_latents(iter_key, batch)
+                fake, aux_g = gen(vars_g, z, fl, train=True, axis=axis)
+                fake = lax.stop_gradient(fake)
+                vars_g = {"params": vars_g["params"], "aux": aux_g}
+                (loss_d, aux_d), grads_d = jax.value_and_grad(
+                    d_loss, has_aux=True)(vars_d["params"], vars_d["aux"],
+                                          images, labels, fake, fl)
+            else:
+                def d_micro(carry, xs):
+                    aux_g_c, aux_d_c, loss_c, grads_c = carry
+                    imgs_a, lbls_a, key_a = xs
+                    z, fl = sample_latents(key_a, micro)
+                    fake, aux_g2 = gen(
+                        {"params": vars_g["params"], "aux": aux_g_c},
+                        z, fl, train=True, axis=axis)
+                    fake = lax.stop_gradient(fake)
+                    (loss, aux_d2), g = jax.value_and_grad(
+                        d_loss, has_aux=True)(vars_d["params"], aux_d_c,
+                                              imgs_a, lbls_a, fake, fl)
+                    carry = (aux_g2, aux_d2, loss_c + loss,
+                             jax.tree.map(jnp.add, grads_c, g))
+                    return carry, None
 
-            def d_loss(params_d, aux_d, fake=fake, fl=fl):
-                vd = {"params": params_d, "aux": aux_d}
-                if fuse_d:
-                    # Real and fake batches share one D forward
-                    # (concatenated on the batch axis): identical math —
-                    # both D families have no batch-coupled layers — and
-                    # half the kernel dispatches of the reference's two
-                    # separate calls (sagan/main.py:181-182), the hottest
-                    # region of the step (SURVEY.md §3.2). +25% step
-                    # throughput measured on v5e.
-                    both = jnp.concatenate(
-                        [images.astype(fake.dtype), fake], 0)
-                    both_labels = jnp.concatenate([labels, fl], 0)
-                    out, aux2 = disc(vd, both, both_labels, train=True,
-                                     axis=axis)
-                    out_real, out_fake = out[:batch], out[batch:]
-                else:
-                    out_real, aux1 = disc(vd, images, labels, train=True,
-                                          axis=axis)
-                    vd = {"params": params_d, "aux": aux1}
-                    out_fake, aux2 = disc(vd, fake, fl, train=True,
-                                          axis=axis)
-                return dloss_fn(out_real, out_fake), aux2
-
-            (loss_d, aux_d), grads_d = jax.value_and_grad(
-                d_loss, has_aux=True)(vars_d["params"], vars_d["aux"])
+                zeros = jax.tree.map(jnp.zeros_like, vars_d["params"])
+                (aux_g, aux_d, loss_sum, grads_sum), _ = lax.scan(
+                    d_micro,
+                    (vars_g["aux"], vars_d["aux"], jnp.float32(0.0), zeros),
+                    (images_m, labels_m, jax.random.split(iter_key, accum)))
+                vars_g = {"params": vars_g["params"], "aux": aux_g}
+                loss_d = loss_sum / accum
+                grads_d = jax.tree.map(lambda g: g / accum, grads_sum)
             if axis is not None:
                 grads_d = lax.pmean(grads_d, axis)
                 loss_d = lax.pmean(loss_d, axis)
@@ -176,16 +218,44 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh,
         d_grad_norm = optax.global_norm(grads_d)
 
         # ---- G update (sagan/main.py:194-205) ---------------------------
-        z, fl = sample_latents(g_key, batch)
+        if accum == 1:
+            z, fl = sample_latents(g_key, batch)
 
-        def g_loss(params_g, aux_g):
-            vg = {"params": params_g, "aux": aux_g}
-            fake, aux_g2 = gen(vg, z, fl, train=True, axis=axis)
-            out_fake, aux_d2 = disc(vars_d, fake, fl, train=True, axis=axis)
-            return gloss_fn(out_fake), (aux_g2, aux_d2)
+            def g_loss(params_g, aux_g):
+                vg = {"params": params_g, "aux": aux_g}
+                fake, aux_g2 = gen(vg, z, fl, train=True, axis=axis)
+                out_fake, aux_d2 = disc(vars_d, fake, fl, train=True,
+                                        axis=axis)
+                return gloss_fn(out_fake), (aux_g2, aux_d2)
 
-        (loss_g, (aux_g2, aux_d2)), grads_g = jax.value_and_grad(
-            g_loss, has_aux=True)(vars_g["params"], vars_g["aux"])
+            (loss_g, (aux_g2, aux_d2)), grads_g = jax.value_and_grad(
+                g_loss, has_aux=True)(vars_g["params"], vars_g["aux"])
+        else:
+            def g_micro(carry, key_a):
+                aux_g_c, aux_d_c, loss_c, grads_c = carry
+                z, fl = sample_latents(key_a, micro)
+
+                def g_loss(params_g, aux_g):
+                    vg = {"params": params_g, "aux": aux_g}
+                    fake, aux_g2 = gen(vg, z, fl, train=True, axis=axis)
+                    out_fake, aux_d2 = disc(
+                        {"params": vars_d["params"], "aux": aux_d_c},
+                        fake, fl, train=True, axis=axis)
+                    return gloss_fn(out_fake), (aux_g2, aux_d2)
+
+                (loss, (aux_g2, aux_d2)), g = jax.value_and_grad(
+                    g_loss, has_aux=True)(vars_g["params"], aux_g_c)
+                carry = (aux_g2, aux_d2, loss_c + loss,
+                         jax.tree.map(jnp.add, grads_c, g))
+                return carry, None
+
+            zeros = jax.tree.map(jnp.zeros_like, vars_g["params"])
+            (aux_g2, aux_d2, loss_sum, grads_sum), _ = lax.scan(
+                g_micro,
+                (vars_g["aux"], vars_d["aux"], jnp.float32(0.0), zeros),
+                jax.random.split(g_key, accum))
+            loss_g = loss_sum / accum
+            grads_g = jax.tree.map(lambda g: g / accum, grads_sum)
         if axis is not None:
             grads_g = lax.pmean(grads_g, axis)
             loss_g = lax.pmean(loss_g, axis)

@@ -134,6 +134,62 @@ def test_model_parallel_config_validation():
     assert cfg["global_batch_size"] == 2 * 4
 
 
+def test_gspmd_steps_per_call_scan():
+    """lax.scan-fused multi-step training works under the GSPMD path."""
+    cfg = dict(CONFIG, steps_per_call=2)
+    mesh = make_mesh(8, model_parallel=2)
+    gen = get_generator(cfg)
+    disc = get_discriminator(cfg)
+    (opt_g, _), (opt_d, _) = make_gan_optimizers(cfg, steps_per_epoch=10)
+    key = jax.random.PRNGKey(0)
+    vars_g = gen.init(key)
+    vars_d = disc.init(jax.random.fold_in(key, 1))
+    state = TrainState(
+        vars_g=vars_g, vars_d=vars_d,
+        opt_g=opt_g.init(vars_g["params"]),
+        opt_d=opt_d.init(vars_d["params"]),
+        step=jnp.int32(0), rng=jax.random.fold_in(key, 2))
+    shs = param_shardings(mesh, state)
+    state = jax.device_put(state, shs)
+    step = build_train_step(gen, disc, opt_g, opt_d, cfg, mesh,
+                            state_shardings=shs)
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (2, 16, 16, 16, 3), dtype=np.uint8)
+    labels = rng.integers(0, 4, (2, 16), dtype=np.int32)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sh = NamedSharding(mesh, P(None, "data"))
+    state, metrics = step(state, jax.device_put(images, sh),
+                          jax.device_put(labels, sh))
+    assert np.isfinite(float(metrics["G_loss"]))
+    assert int(jax.device_get(state.step)) == 2
+
+
+def test_gspmd_checkpoint_round_trip(tmp_path):
+    """Orbax saves/restores the model-sharded state (sharded jax.Arrays
+    round-trip through StandardSave/StandardRestore)."""
+    from sagan_tpu.train.checkpoint import CheckpointManager
+
+    mesh, state, step = _build(2)
+    rng = np.random.default_rng(0)
+    im, lb = shard_batch(
+        mesh, rng.integers(0, 255, (16, 16, 16, 3), dtype=np.uint8),
+        rng.integers(0, 4, (16,), dtype=np.int32))
+    state, _ = step(state, im, lb)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, state)
+    mgr.wait()
+    restored = mgr.restore_latest(state)
+    mgr.close()
+    assert restored is not None
+    assert int(jax.device_get(restored.step)) == 1
+    np.testing.assert_array_equal(
+        np.asarray(restored.vars_g["params"]["stem"]["w"]),
+        np.asarray(state.vars_g["params"]["stem"]["w"]))
+    # restored with the template's sharding preserved
+    assert "model" in str(restored.vars_g["params"]["stem"]["w"]
+                          .sharding.spec)
+
+
 def test_trainer_model_parallel_end_to_end(tmp_path):
     data = make_synthetic_dataset(str(tmp_path / "ds"), num=32, img_size=16,
                                   num_classes=4, seed=1)
