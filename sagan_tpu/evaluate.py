@@ -1,0 +1,77 @@
+"""Offline evaluation CLI: checkpoint → FID (+ Inception Score).
+
+The reference computes FID only inside the (disabled) training loop
+(/root/reference/sagan/main.py:39-84,271-273) and has no offline
+entry point; this CLI evaluates any trained run without touching its
+training state: restore the latest checkpoint (EMA generator when the
+run tracked one), compute FID against the config's dataset, optionally
+the Inception Score, and print one JSON line.
+
+    python -m sagan_tpu.evaluate --config_path example_configs/foo.py \
+        [--num_images 5000] [--no_is]
+
+Extractor/classifier backends follow the training-loop plumbing
+(train/fid.py, train/iscore.py): the JAX InceptionV3 port when
+``inception_weights`` points at an exported npz, the deterministic
+random-feature proxy otherwise (documented in PARITY.md — proxy scales
+are not comparable to published numbers, but are stable regression
+signals).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from .utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="evaluate FID / Inception Score for a trained run")
+    ap.add_argument("--config_path", required=True)
+    ap.add_argument("--num_images", type=int, default=None,
+                    help="sample count (default: config fid_num_images)")
+    ap.add_argument("--no_is", action="store_true",
+                    help="skip the Inception Score")
+    args = ap.parse_args(argv)
+
+    from .train.fid import compute_fid_for_trainer
+    from .train.trainer import Trainer
+    from .utils.config import load_config_file, resolve_config
+
+    config = resolve_config(load_config_file(args.config_path))
+    # evaluation never trains: keep construction light and quiet
+    config["print_variables"] = False
+    trainer = Trainer(config)
+    step = trainer.global_step()
+    if step == 0:
+        raise SystemExit(
+            f"no trained checkpoint under {config.get('ckpt_dir')!r} — "
+            f"train first (python -m sagan_tpu.main --config_path ...)")
+
+    result = {
+        "step": step,
+        "ema": trainer.state.ema_g is not None,
+        "num_images": args.num_images or config.get("fid_num_images", 5000),
+        "extractor": ("inception" if config.get("inception_weights")
+                      else "random_proxy"),
+    }
+    result["fid"] = float(compute_fid_for_trainer(
+        trainer, num_images=args.num_images))
+    if not args.no_is:
+        from .train.iscore import inception_score_for_trainer
+        is_mean, is_std = inception_score_for_trainer(
+            trainer, num_images=args.num_images)
+        result["inception_score"] = round(float(is_mean), 4)
+        result["inception_score_std"] = round(float(is_std), 4)
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

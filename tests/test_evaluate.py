@@ -1,0 +1,46 @@
+"""Offline evaluation CLI tests: checkpoint → FID (+ Inception Score)
+as one JSON-able dict, reusing the training-loop metric plumbing.
+
+Extension beyond the reference (its FID exists only inside the disabled
+training loop, /root/reference/sagan/main.py:39-84,271-273)."""
+
+import numpy as np
+import pytest
+
+from tests.test_generate import _train_tiny
+
+
+def test_evaluate_cli_end_to_end(tmp_path):
+    cfg = _train_tiny(tmp_path, fid_num_images=16)
+    from sagan_tpu import evaluate
+
+    cfg_file = tmp_path / "eval_cfg.py"
+    cfg_file.write_text(f"config = {cfg!r}\n")
+    result = evaluate.main(["--config_path", str(cfg_file)])
+    assert result["step"] > 0
+    assert result["extractor"] == "random_proxy"
+    assert np.isfinite(result["fid"])
+    assert result["inception_score"] >= 1.0
+    # deterministic metric plumbing: re-running reproduces the number
+    again = evaluate.main(["--config_path", str(cfg_file), "--no_is"])
+    assert again["fid"] == pytest.approx(result["fid"], rel=1e-5)
+    assert "inception_score" not in again
+
+
+def test_evaluate_refuses_untrained(tmp_path):
+    from sagan_tpu import evaluate
+    from sagan_tpu.data.synthetic import make_synthetic_dataset
+
+    data = make_synthetic_dataset(str(tmp_path / "ds"), num=32, img_size=16,
+                                  num_classes=4, seed=1)
+    cfg_file = tmp_path / "cfg.py"
+    cfg_file.write_text(
+        "config = {'dataset': 'synthetic', 'data_path': %r,"
+        " 'model': 'vanilla', 'z_dim': 8, 'gf_dim': 8, 'df_dim': 8,"
+        " 'lr_g': 2e-4, 'lr_d': 7e-4, 'decay_rate': 0.99,"
+        " 'use_attention': False, 'use_label': False, 'batch_size': 2,"
+        " 'loss': 'hinge_loss', 'epoch': 1, 'update_ratio': 1,"
+        " 'data_size': -1, 'compute_dtype': 'float32',"
+        " 'ckpt_dir': %r}\n" % (data, str(tmp_path / "empty_ckpt")))
+    with pytest.raises(SystemExit, match="no trained checkpoint"):
+        evaluate.main(["--config_path", str(cfg_file)])
