@@ -214,11 +214,12 @@ def test_trainer_model_parallel_end_to_end(tmp_path):
     assert np.isfinite(imgs).all()
 
 
-def test_gspmd_grad_accum():
-    """Gradient accumulation under the GSPMD (model-parallel) path: the
-    global batch splits into micro-batches inside the annotated-jit
-    program; losses finite, step advances."""
-    cfg = dict(CONFIG, grad_accum_steps=2)
+def test_gspmd_grad_accum_with_ema():
+    """Gradient accumulation + EMA under the GSPMD (model-parallel)
+    path: the global batch splits into micro-batches inside the
+    annotated-jit program, the EMA copy shards by the same shape-based
+    rule as the params and moves after the step."""
+    cfg = dict(CONFIG, grad_accum_steps=2, g_ema_decay=0.9)
     mesh = make_mesh(8, model_parallel=2)
     gen = get_generator(cfg)
     disc = get_discriminator(cfg)
@@ -230,7 +231,8 @@ def test_gspmd_grad_accum():
         vars_g=vars_g, vars_d=vars_d,
         opt_g=opt_g.init(vars_g["params"]),
         opt_d=opt_d.init(vars_d["params"]),
-        step=jnp.int32(0), rng=jax.random.fold_in(key, 2))
+        step=jnp.int32(0), rng=jax.random.fold_in(key, 2),
+        ema_g=jax.tree.map(jnp.copy, vars_g["params"]))
     shs = param_shardings(mesh, state)
     state = jax.device_put(state, shs)
     step = build_train_step(gen, disc, opt_g, opt_d, cfg, mesh,
@@ -243,3 +245,8 @@ def test_gspmd_grad_accum():
     assert np.isfinite(float(metrics["G_loss"]))
     assert np.isfinite(float(metrics["D_loss"]))
     assert int(jax.device_get(state.step)) == 1
+    # EMA moved toward the updated params and kept its model sharding
+    w = state.vars_g["params"]["stem"]["w"]
+    e = state.ema_g["stem"]["w"]
+    assert not np.array_equal(np.asarray(e), np.asarray(w))
+    assert "model" in str(e.sharding.spec)
