@@ -32,10 +32,19 @@ class CheckpointManager:
         self.mgr.save(step, args=self._ocp.args.StandardSave(state))
 
     def restore_latest(self, abstract_state):
-        """Restore the newest checkpoint shaped like ``abstract_state``;
-        None if the directory has no checkpoints."""
-        latest = self.mgr.latest_step()
-        if latest is None:
+        """Restore the newest readable checkpoint shaped like
+        ``abstract_state``; None if the directory has no checkpoints.
+
+        Robustness beyond the reference (whose ``restore(...)
+        .assert_consumed()`` simply crashes, sagan/main.py:243-253):
+        Orbax's commit markers already exclude partially-written steps,
+        but a committed checkpoint can still rot post-commit (disk
+        corruption, truncated arrays after a host crash).  If the
+        newest step fails to restore, fall back to the next older one
+        instead of killing the run, and report what happened.
+        """
+        steps = sorted(self.mgr.all_steps(), reverse=True)
+        if not steps:
             return None
 
         def _abstract(x):
@@ -47,8 +56,19 @@ class CheckpointManager:
             return x
 
         target = jax.tree.map(_abstract, abstract_state)
-        return self.mgr.restore(
-            latest, args=self._ocp.args.StandardRestore(target))
+        last_err = None
+        for step in steps:
+            try:
+                return self.mgr.restore(
+                    step, args=self._ocp.args.StandardRestore(target))
+            except Exception as ex:  # unreadable/corrupt step: try older
+                print(f"checkpoint step {step} is unreadable "
+                      f"({type(ex).__name__}: {ex}); falling back to an "
+                      f"older checkpoint", flush=True)
+                last_err = ex
+        raise RuntimeError(
+            f"all {len(steps)} checkpoints under the manager are "
+            f"unreadable; newest failure: {last_err!r}")
 
     def latest_step(self):
         return self.mgr.latest_step()

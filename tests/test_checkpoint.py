@@ -1,0 +1,75 @@
+"""CheckpointManager robustness: restore falls back past corrupt steps.
+
+The reference's restore path (`restore(...).assert_consumed()`,
+/root/reference/sagan/main.py:243-253) crashes the run on any unreadable
+checkpoint; ours keeps 10 (same policy) and walks back to the newest
+readable one."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sagan_tpu.train.checkpoint import CheckpointManager
+
+
+def _state(val):
+    return {"w": jnp.full((4, 4), float(val)), "step": jnp.int32(val)}
+
+
+def _corrupt_step_dir(root, step):
+    """Garbage every data file of one committed checkpoint step."""
+    step_dir = None
+    for name in os.listdir(root):
+        if name == str(step) or name.endswith(f"_{step}") or \
+                name == f"{step}":
+            step_dir = os.path.join(root, name)
+    assert step_dir is not None, os.listdir(root)
+    n = 0
+    for dirpath, _dirnames, filenames in os.walk(step_dir):
+        for fname in filenames:
+            path = os.path.join(dirpath, fname)
+            with open(path, "wb") as f:
+                f.write(b"corrupt!" * 16)
+            n += 1
+    assert n > 0
+
+
+def test_restore_falls_back_past_corrupt_latest(tmp_path, capsys):
+    root = str(tmp_path / "ckpt")
+    mgr = CheckpointManager(root)
+    mgr.save(1, _state(1))
+    mgr.save(2, _state(2))
+    mgr.wait()
+    mgr.close()
+
+    _corrupt_step_dir(root, 2)
+
+    mgr = CheckpointManager(root)
+    restored = mgr.restore_latest(_state(0))
+    mgr.close()
+    assert int(restored["step"]) == 1
+    np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                  np.full((4, 4), 1.0))
+    assert "falling back" in capsys.readouterr().out
+
+
+def test_restore_raises_when_everything_is_corrupt(tmp_path):
+    root = str(tmp_path / "ckpt")
+    mgr = CheckpointManager(root)
+    mgr.save(1, _state(1))
+    mgr.wait()
+    mgr.close()
+    _corrupt_step_dir(root, 1)
+
+    mgr = CheckpointManager(root)
+    with pytest.raises(RuntimeError, match="unreadable"):
+        mgr.restore_latest(_state(0))
+    mgr.close()
+
+
+def test_restore_latest_empty_dir(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    assert mgr.restore_latest(_state(0)) is None
+    mgr.close()
