@@ -114,3 +114,46 @@ def test_bfloat16_compute_path():
     # params stay fp32 master copies
     leaves = jax.tree.leaves(v["params"])
     assert all(l.dtype == jnp.float32 for l in leaves)
+
+
+def test_256px_generator_and_train_step():
+    """256px path: the ladder extends one stage past the reference's
+    maximum (128px) and the 64x64-map attention (N=4096 tokens at
+    256px insertion) routes through the fused-kernel dispatch.  A
+    G forward plus one full train step must compose at this size —
+    the config surface the flash-blocked attention future-proofs."""
+    from sagan_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from sagan_tpu.train.optim import make_gan_optimizers
+    from sagan_tpu.train.trainer import TrainState, build_train_step
+
+    cfg = make_config(model="resnet", img_size=256, gf_dim=4, df_dim=4,
+                      attn_dim_G=[64], attn_dim_D=[64], use_label=True,
+                      num_classes=4, use_cond_bn=True,
+                      lr_g=2e-4, lr_d=7e-4, decay_rate=0.99,
+                      update_ratio=1, loss="hinge_loss",
+                      global_batch_size=8)
+    gen = get_generator(cfg)
+    disc = get_discriminator(cfg)
+    v = gen.init(KEY)
+    z = jax.random.normal(KEY, (2, 16))
+    img, _ = gen(v, z, jnp.array([0, 1]), train=False)
+    assert img.shape == (2, 256, 256, 3)
+    assert np.all(np.isfinite(np.asarray(img)))
+
+    mesh = make_mesh(2)
+    (opt_g, _), (opt_d, _) = make_gan_optimizers(cfg, steps_per_epoch=4)
+    vars_d = disc.init(jax.random.fold_in(KEY, 1))
+    state = TrainState(
+        vars_g=v, vars_d=vars_d,
+        opt_g=opt_g.init(v["params"]),
+        opt_d=opt_d.init(vars_d["params"]),
+        step=jnp.int32(0), rng=jax.random.fold_in(KEY, 2))
+    state = replicate(mesh, state)
+    step = build_train_step(gen, disc, opt_g, opt_d, cfg, mesh)
+    rng = np.random.default_rng(0)
+    im, lb = shard_batch(
+        mesh, rng.integers(0, 255, (8, 256, 256, 3), dtype=np.uint8),
+        rng.integers(0, 4, (8,), dtype=np.int32))
+    state, metrics = step(state, im, lb)
+    assert np.isfinite(float(metrics["G_loss"]))
+    assert np.isfinite(float(metrics["D_loss"]))
