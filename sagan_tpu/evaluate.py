@@ -27,8 +27,6 @@ from .utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
 
-import jax
-
 
 def main(argv=None):
     ap = argparse.ArgumentParser(
