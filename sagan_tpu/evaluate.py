@@ -52,19 +52,24 @@ def main(argv=None):
             f"no trained checkpoint under {config.get('ckpt_dir')!r} — "
             f"train first (python -m sagan_tpu.main --config_path ...)")
 
+    fid_n = args.num_images or config.get("fid_num_images", 5000)
     result = {
         "step": step,
         "ema": trainer.state.ema_g is not None,
-        "num_images": args.num_images or config.get("fid_num_images", 5000),
+        "num_images": fid_n,
         "extractor": ("inception" if config.get("inception_weights")
                       else "random_proxy"),
     }
-    result["fid"] = float(compute_fid_for_trainer(
-        trainer, num_images=args.num_images))
+    result["fid"] = float(compute_fid_for_trainer(trainer, num_images=fid_n))
     if not args.no_is:
         from .train.iscore import inception_score_for_trainer
+        # --num_images overrides; otherwise the IS sample count follows
+        # its own config key (is_num_images, falling back to
+        # fid_num_images) — report the count actually used
+        is_n = args.num_images or config.get("is_num_images", fid_n)
         is_mean, is_std = inception_score_for_trainer(
-            trainer, num_images=args.num_images)
+            trainer, num_images=is_n)
+        result["is_num_images"] = is_n
         result["inception_score"] = round(float(is_mean), 4)
         result["inception_score_std"] = round(float(is_std), 4)
     print(json.dumps(result))

@@ -56,19 +56,37 @@ class CheckpointManager:
             return x
 
         target = jax.tree.map(_abstract, abstract_state)
-        last_err = None
+        last_err, bad_steps = None, []
+        restored = None
         for step in steps:
             try:
-                return self.mgr.restore(
+                restored = self.mgr.restore(
                     step, args=self._ocp.args.StandardRestore(target))
+                break
             except Exception as ex:  # unreadable/corrupt step: try older
                 print(f"checkpoint step {step} is unreadable "
                       f"({type(ex).__name__}: {ex}); falling back to an "
                       f"older checkpoint", flush=True)
                 last_err = ex
-        raise RuntimeError(
-            f"all {len(steps)} checkpoints under the manager are "
-            f"unreadable; newest failure: {last_err!r}")
+                bad_steps.append(step)
+        if restored is None:
+            raise RuntimeError(
+                f"all {len(steps)} checkpoints under the manager are "
+                f"unreadable; newest failure: {last_err!r}")
+        # Drop the corrupt steps: Orbax silently skips `save(step)` when
+        # the step already exists, so a resumed run that re-reaches a
+        # rotten step number would never replace it — and every restore
+        # would fall back again, losing all progress past the older
+        # checkpoint each time.
+        for step in bad_steps:
+            try:
+                self.mgr.delete(step)
+                print(f"deleted unreadable checkpoint step {step}",
+                      flush=True)
+            except Exception as ex:
+                print(f"could not delete unreadable checkpoint step "
+                      f"{step}: {ex}", flush=True)
+        return restored
 
     def latest_step(self):
         return self.mgr.latest_step()

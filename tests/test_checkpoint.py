@@ -22,8 +22,7 @@ def _corrupt_step_dir(root, step):
     """Garbage every data file of one committed checkpoint step."""
     step_dir = None
     for name in os.listdir(root):
-        if name == str(step) or name.endswith(f"_{step}") or \
-                name == f"{step}":
+        if name == str(step) or name.endswith(f"_{step}"):
             step_dir = os.path.join(root, name)
     assert step_dir is not None, os.listdir(root)
     n = 0
@@ -48,11 +47,20 @@ def test_restore_falls_back_past_corrupt_latest(tmp_path, capsys):
 
     mgr = CheckpointManager(root)
     restored = mgr.restore_latest(_state(0))
-    mgr.close()
     assert int(restored["step"]) == 1
     np.testing.assert_array_equal(np.asarray(restored["w"]),
                                   np.full((4, 4), 1.0))
     assert "falling back" in capsys.readouterr().out
+    # the corrupt step must be dropped, or a resumed run re-reaching
+    # step 2 would have its save() silently skipped by Orbax and every
+    # restart would lose the progress past step 1 again
+    assert mgr.latest_step() == 1
+    mgr.save(2, _state(5))
+    mgr.wait()
+    mgr.close()
+    mgr = CheckpointManager(root)
+    assert int(mgr.restore_latest(_state(0))["step"]) == 5
+    mgr.close()
 
 
 def test_restore_raises_when_everything_is_corrupt(tmp_path):

@@ -37,7 +37,6 @@ Run: python tools/bench_attn_floor.py   (one real-TPU process; ~5 min
 warm via the compilation cache).
 """
 import sys
-import time
 import os
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -47,10 +46,12 @@ enable_compilation_cache()
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+import numpy as np
+
+from sagan_tpu.utils.timing import timeit_best
 
 B, N, M, D, C = 64, 4096, 1024, 2, 8
 LOG2E = 1.4426950408889634
@@ -147,25 +148,14 @@ def k_ev_vpu(q_ref, k_ref, v_ref, o_ref):
     o_ref[...] = (o / l).astype(o_ref.dtype)
 
 
-def _force(x):
-    return jax.device_get(x.ravel()[0])
-
-
 def timeit(name, fn, *args, iters=30):
     try:
         j = jax.jit(fn)
         out = j(*args)
-        _force(out)
     except Exception as ex:
         print(f"{name:24s}: FAILED {type(ex).__name__}", flush=True)
         return None
-    best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = j(*args)
-        _force(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
+    best = timeit_best(j, *args, iters=iters, jit=False)
     print(f"{name:24s}: {best * 1e3:7.3f} ms", flush=True)
     return out
 

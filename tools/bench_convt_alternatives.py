@@ -31,7 +31,6 @@ Run: python tools/bench_convt_alternatives.py  (one real-TPU process).
 """
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from sagan_tpu.utils.cache import enable_compilation_cache
@@ -42,6 +41,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+
+from sagan_tpu.utils.timing import timeit_best
 
 
 def convt_ref(x, w):
@@ -110,22 +111,8 @@ def convt_poly(x, w):
     return y.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, cout)
 
 
-def _force(x):
-    return jax.device_get(jax.tree.leaves(x)[0].ravel()[0])
-
-
 def timeit(fn, *args, iters=30):
-    j = jax.jit(fn)
-    out = j(*args)
-    _force(out)
-    best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = j(*args)
-        _force(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+    return timeit_best(fn, *args, iters=iters)
 
 
 def main():

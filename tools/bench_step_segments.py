@@ -52,6 +52,7 @@ from sagan_tpu.models import get_discriminator, get_generator
 from sagan_tpu.parallel.mesh import make_mesh, replicate, shard_batch, \
     stacked_batch_sharding
 from sagan_tpu.train.optim import make_gan_optimizers
+from sagan_tpu.utils.timing import timeit_best
 from sagan_tpu.train.trainer import TrainState, build_train_step
 
 CHURCH64 = {
@@ -160,20 +161,9 @@ def segments_gf64():
         return jax.grad(lambda p: d_fwd({"params": p, "aux": vd["aux"]},
                                         x, labels))(vd["params"])
 
-    def _force(x):
-        return jax.device_get(jax.tree.leaves(x)[0].ravel()[0])
-
     def timeit(fn, *args, iters=10):
         j = jax.jit(fn)
-        out = j(*args)
-        _force(out)
-        best = np.inf
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                out = j(*args)
-            _force(out)
-            best = min(best, (time.perf_counter() - t0) / iters)
+        best = timeit_best(j, *args, iters=iters, jit=False)
         c = j.lower(*args).compile().cost_analysis()
         c = c[0] if isinstance(c, (list, tuple)) else c
         fl = float(c.get("flops", 0))

@@ -59,8 +59,13 @@ def main():
         state, m = step(state, images, labels)
     float(jax.device_get(m["G_loss"]))
 
-    trace_dir = args.keep_trace or "/tmp/sagan_tpu_profile"
-    shutil.rmtree(trace_dir, ignore_errors=True)
+    if args.keep_trace:
+        # never clear a user-supplied directory; write a fresh subdir
+        trace_dir = os.path.join(args.keep_trace,
+                                 f"profile_{args.config}_{os.getpid()}")
+    else:
+        trace_dir = "/tmp/sagan_tpu_profile"
+        shutil.rmtree(trace_dir, ignore_errors=True)
     t0 = time.perf_counter()
     jax.profiler.start_trace(trace_dir)
     for _ in range(3):
