@@ -390,3 +390,25 @@ def test_random_flip_changes_dynamics_but_stays_finite(data16):
     assert np.isfinite(float(ma["D_loss"])) and np.isfinite(float(mb["D_loss"]))
     # flipping real images changes the D update
     assert float(ma["D_loss"]) != float(mb["D_loss"])
+
+
+def test_end_to_end_training_is_deterministic(data16, tmp_path):
+    """Two fresh runs of the same config produce bit-identical parameters:
+    seeded model init, per-step RNG derived from (rng, step), and the
+    deterministic loader make the whole epoch a pure function of the
+    config — the reproducibility the reference's unseeded pipeline
+    (sagan/main.py, no seed anywhere) cannot offer."""
+    params = []
+    for run in ("a", "b"):
+        cfg = tiny_config(
+            data16, num_devices=8, epoch=1, seed=123,
+            ckpt_dir=str(tmp_path / f"ckpt_{run}"))
+        tr = Trainer(cfg)
+        tr.train()
+        params.append(jax.tree.map(np.asarray, tr.state.vars_g["params"]))
+        if tr.ckpt_mgr:
+            tr.ckpt_mgr.close()
+    flat_a = jax.tree.leaves(params[0])
+    flat_b = jax.tree.leaves(params[1])
+    for xa, xb in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(xa, xb)
