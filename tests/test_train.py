@@ -412,3 +412,15 @@ def test_end_to_end_training_is_deterministic(data16, tmp_path):
     flat_b = jax.tree.leaves(params[1])
     for xa, xb in zip(flat_a, flat_b):
         np.testing.assert_array_equal(xa, xb)
+
+
+def test_train_with_bce_loss(data16, tmp_path):
+    """End-to-end epoch with the BCE loss alternative
+    (config 'cross_entropy', sagan/main.py:29-37,122-131) — previously
+    only unit-tested at the loss-function level."""
+    cfg = tiny_config(data16, num_devices=8, epoch=1,
+                      loss="cross_entropy")
+    tr = Trainer(cfg)
+    tr.train()
+    assert tr.global_step() == tr.steps_per_epoch
+    assert np.isfinite(tr.sample_images()).all()
