@@ -424,3 +424,25 @@ def test_train_with_bce_loss(data16, tmp_path):
     tr.train()
     assert tr.global_step() == tr.steps_per_epoch
     assert np.isfinite(tr.sample_images()).all()
+
+
+def test_pod_recipe_32_wide_subprocess():
+    """The shipped pod config (example_configs/biggan128_pod.py) with
+    its documented options — model_parallel 2 (dp x tp GSPMD mesh),
+    grad_accum_steps 2, steps_per_call 2, update_ratio 2, EMA — trains
+    one epoch end-to-end on a genuine 32-device virtual mesh
+    (subprocess: conftest pins the in-process backend to 8)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=32",
+               JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tests", "pod_recipe_worker.py"),
+         "32"],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "pod recipe ok: mesh OrderedDict([('data', 16), ('model', 2)])" \
+        in proc.stdout or "pod recipe ok" in proc.stdout, proc.stdout
