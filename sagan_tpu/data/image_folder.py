@@ -90,11 +90,16 @@ class ImageFolderDataset:
         self.files, self.num_classes = _scan(data_path)
         if data_size not in (-1, None):
             self.files = self.files[:data_size]
+        total = len(self.files)
         self.files = self.files[process_index::process_count]
         self.batch_size = batch_size
         self.img_size = img_size
         self.num_records = len(self.files)
-        self.steps_per_epoch = len(self.files) // batch_size
+        self.process_index = process_index
+        # steps derive from the GLOBAL count so every host of a
+        # multi-process run issues the same number of train-step calls
+        # (local shards can differ by one file; decode errors skip more)
+        self.steps_per_epoch = (total // process_count) // batch_size
         self.seed = seed
         self.shift, self.brightness, self.hflip = shift, brightness, hflip
         self.prefetch_depth = prefetch_depth
@@ -111,12 +116,11 @@ class ImageFolderDataset:
             return np.asarray(im, np.uint8)
 
     def epoch(self, epoch_index: int = 0) -> Iterator[tuple]:
-        from .loader import _prefetch
+        from .loader import _lockstep, _prefetch
 
-        rng = np.random.default_rng((self.seed, epoch_index))
-        order = rng.permutation(len(self.files))
-
-        def gen():
+        def gen(attempt: int):
+            rng = np.random.default_rng((self.seed, epoch_index, attempt))
+            order = rng.permutation(len(self.files))
             imgs = np.empty(
                 (self.batch_size, self.img_size, self.img_size, 3),
                 np.uint8)
@@ -137,7 +141,9 @@ class ImageFolderDataset:
                     yield imgs.copy(), labels.copy()
                     fill = 0
 
-        return _prefetch(gen(), self.prefetch_depth)
+        return _prefetch(_lockstep(gen, self.steps_per_epoch,
+                                   self.process_index),
+                         self.prefetch_depth)
 
     def __iter__(self):
         return self.epoch(0)

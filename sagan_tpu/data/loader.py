@@ -140,29 +140,47 @@ class ImageDataset:
         _END = object()
         queues = [_q.Queue(maxsize=256) for _ in range(workers)]
         errors: list = []
+        stop = threading.Event()
+
+        def _put(w: int, item) -> bool:
+            # bounded-queue put that gives up when the consumer is gone
+            # (early break / preemption): without the stop check, an
+            # abandoned generator leaves every worker blocked on a full
+            # queue forever, leaking threads and file handles each epoch
+            while not stop.is_set():
+                try:
+                    queues[w].put(item, timeout=0.2)
+                    return True
+                except _q.Full:
+                    continue
+            return False
 
         def run(w: int):
             try:
                 for path in files[w::workers]:
                     for item in self._file_items(path):
-                        queues[w].put(item)
+                        if not _put(w, item):
+                            return
             except Exception as e:  # surface reader errors to the consumer
                 errors.append(e)
             finally:
-                queues[w].put(_END)
+                _put(w, _END)
 
         threads = [threading.Thread(target=run, args=(w,), daemon=True)
                    for w in range(workers)]
         for t in threads:
             t.start()
-        live = list(range(workers))
-        while live:
-            for w in list(live):
-                item = queues[w].get()
-                if item is _END:
-                    live.remove(w)
-                    continue
-                yield item
+        try:
+            live = list(range(workers))
+            while live:
+                for w in list(live):
+                    item = queues[w].get()
+                    if item is _END:
+                        live.remove(w)
+                        continue
+                    yield item
+        finally:
+            stop.set()
         if errors:
             raise errors[0]
 
@@ -201,26 +219,29 @@ class ImageDataset:
     def epoch(self, epoch_index: int = 0) -> Iterator[tuple]:
         """One pass over the (sharded) data, dropping the remainder
         (drop_remainder=True semantics, sagan/dataset.py:36)."""
-        rng = np.random.default_rng((self.seed, epoch_index))
-
         if self.cache_in_memory:
             if self._cache is None:
                 self._materialize()
             imgs, labels = self._cache
 
-            def cached_gen():
+            def cached_gen(attempt: int):
                 # exact Fisher–Yates permutation per epoch (strictly
                 # stronger than the streaming buffer shuffle, and still a
-                # pure function of (seed, epoch) — exact-resume safe)
+                # pure function of (seed, epoch, pass) — exact-resume safe)
+                rng = np.random.default_rng(
+                    (self.seed, epoch_index, attempt))
                 order = rng.permutation(len(labels))
                 for i in range(len(labels) // self.batch_size):
                     idx = order[i * self.batch_size:
                                 (i + 1) * self.batch_size]
                     yield imgs[idx], labels[idx]
 
-            return _prefetch(cached_gen(), self.prefetch_depth)
+            return _prefetch(_lockstep(cached_gen, self.steps_per_epoch,
+                                       self.process_index),
+                             self.prefetch_depth)
 
-        def gen():
+        def gen(attempt: int):
+            rng = np.random.default_rng((self.seed, epoch_index, attempt))
             imgs = np.empty((self.batch_size, self.img_size, self.img_size, 3),
                             np.uint8)
             labels = np.empty((self.batch_size,), np.int32)
@@ -233,34 +254,98 @@ class ImageDataset:
                     yield imgs.copy(), labels.copy()
                     fill = 0
 
-        return _prefetch(gen(), self.prefetch_depth)
+        return _prefetch(_lockstep(gen, self.steps_per_epoch,
+                                   self.process_index),
+                         self.prefetch_depth)
 
     def __iter__(self):
         return self.epoch(0)
 
 
+def _lockstep(make_gen, n: int, host: int = 0) -> Iterator[tuple]:
+    """Yield EXACTLY ``n`` batches: truncate a long local stream and
+    wrap around (re-shuffled) a short one.
+
+    ``steps_per_epoch`` is derived from the *global* record count, but
+    per-host sharding can leave hosts with unequal local record counts
+    (uneven shard files, counts not divisible by the process count,
+    skipped undecodable images).  Every host must issue the same number
+    of train-step calls per epoch or the short host leaves the others
+    blocked in the cross-host gradient collective — so the batch count,
+    not the local stream length, is the epoch contract.  ``make_gen``
+    takes a pass index and must re-derive its RNG from it, keeping the
+    stream a pure function of the config (exact-resume safe)."""
+    count = 0
+    attempt = 0
+    while count < n:
+        produced = False
+        for batch in make_gen(attempt):
+            produced = True
+            yield batch
+            count += 1
+            if count == n:
+                return
+        if not produced:
+            raise RuntimeError(
+                f"host {host}: data stream yielded no full batch "
+                f"(need {n})")
+        attempt += 1
+        print(f"data: host {host} local stream ran short at {count}/{n} "
+              f"batches; wrapping (pass {attempt}) to keep the global "
+              f"step count in lockstep", flush=True)
+
+
 def _prefetch(it: Iterator, depth: int) -> Iterator:
-    """Run ``it`` in a daemon thread, keeping ``depth`` items ready."""
+    """Run ``it`` in a daemon thread, keeping ``depth`` items ready.
+
+    Pipeline errors propagate: an exception in the producing iterator is
+    re-raised at the consumer's next pull — a corrupt record must stop
+    the run, not silently truncate the epoch (a short host would also
+    hang the other hosts of a multi-process run inside a collective).
+    An abandoned consumer (early break / preemption) releases the
+    worker via a stop flag instead of leaving it blocked on the queue.
+    """
     if depth <= 0:
         yield from it
         return
     q: queue.Queue = queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()
+
+    class _Error:
+        def __init__(self, exc):
+            self.exc = exc
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in it:
-                q.put(item)
-        finally:
-            q.put(_END)
+                if not _put(item):
+                    return
+            _put(_END)
+        except BaseException as e:  # re-raised by the consumer below
+            _put(_Error(e))
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, _Error):
+                raise item.exc
+            yield item
+    finally:
+        stop.set()
 
 
 def get_dataset_and_info(config: dict):

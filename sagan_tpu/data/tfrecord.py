@@ -267,16 +267,26 @@ def read_records(path: str, verify: bool = False) -> Iterator[bytes]:
     with open(path, "rb") as f:
         while True:
             header = f.read(8)
+            if len(header) == 0:
+                return                     # clean end-of-file
             if len(header) < 8:
-                return
+                # a partial header is truncation, not EOF — treating it
+                # as EOF silently drops the tail of the dataset
+                raise IOError(f"truncated record header in {path}")
             (length,) = struct.unpack("<Q", header)
-            (hcrc,) = struct.unpack("<I", f.read(4))
+            hcrc_bytes = f.read(4)
+            if len(hcrc_bytes) < 4:
+                raise IOError(f"truncated record header crc in {path}")
+            (hcrc,) = struct.unpack("<I", hcrc_bytes)
             if verify and masked_crc32c(header) != hcrc:
                 raise IOError(f"corrupt length crc in {path}")
             data = f.read(length)
             if len(data) < length:
                 raise IOError(f"truncated record in {path}")
-            (dcrc,) = struct.unpack("<I", f.read(4))
+            dcrc_bytes = f.read(4)
+            if len(dcrc_bytes) < 4:
+                raise IOError(f"truncated record crc in {path}")
+            (dcrc,) = struct.unpack("<I", dcrc_bytes)
             if verify and masked_crc32c(data) != dcrc:
                 raise IOError(f"corrupt data crc in {path}")
             yield data

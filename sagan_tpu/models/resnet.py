@@ -127,6 +127,8 @@ class ResGenerator(Module):
         sn_iters = c.get("sn_iters", 1)
         power = _power(c["img_size"])
         attn_at = set(c.get("attn_dim_G", [])) if c.get("use_attention") else set()
+        use_pallas = c.get("use_pallas", None)
+        attn_ds = c.get("attn_downsample", True)
         ncls = self.num_classes if self.use_cond_bn else 0
 
         in_dim = self.z_dim + (self.num_classes if self.use_label else 0)
@@ -144,7 +146,8 @@ class ResGenerator(Module):
             attn = None
             if side in attn_at:
                 attn = self.add(f"attn{side}", SelfAttention(
-                    cout, sn_iters=sn_iters, dtype=self.dtype))
+                    cout, sn_iters=sn_iters, downsample=attn_ds,
+                    dtype=self.dtype, use_pallas=use_pallas))
             self.blocks.append((blk, attn))
             cin = cout
 
@@ -178,6 +181,8 @@ class ResDiscriminator(Module):
         df = c["df_dim"]
         sn_iters = c.get("sn_iters", 1)
         self._sn_iters = sn_iters
+        self._use_pallas = c.get("use_pallas", None)
+        self._attn_ds = c.get("attn_downsample", True)
         power = _power(c["img_size"])
         attn_at = set(c.get("attn_dim_D", [])) if c.get("use_attention") else set()
 
@@ -210,7 +215,8 @@ class ResDiscriminator(Module):
     def _attn(self, side, ch, attn_at):
         if side in attn_at:
             return self.add(f"attn{side}", SelfAttention(
-                ch, sn_iters=self._sn_iters, dtype=self.dtype))
+                ch, sn_iters=self._sn_iters, downsample=self._attn_ds,
+                dtype=self.dtype, use_pallas=self._use_pallas))
         return None
 
     def forward(self, cx: Ctx, img, labels=None):

@@ -159,8 +159,12 @@ def fake_stats(sample_batch_fn, extractor, num_images: int, batch_size: int,
     for begin in range(0, num_images, batch_size):
         n = min(batch_size, num_images - begin)
         key, sub = jax.random.split(key)
-        imgs = sample_batch_fn(sub, n)
-        acts.append(extractor(np.asarray(jax.device_get(imgs))[:n]))
+        # always sample a full batch and slice: a remainder-sized call
+        # would retrace the jitted sampler + extractor for a one-off
+        # shape (40-300 s of remote compile per new program on this
+        # backend — same pattern as generate.sample_images)
+        imgs = sample_batch_fn(sub, batch_size)
+        acts.append(extractor(np.asarray(jax.device_get(imgs)))[:n])
     acts = np.concatenate(acts)[:num_images]
     return activation_stats(acts)
 
@@ -168,7 +172,14 @@ def fake_stats(sample_batch_fn, extractor, num_images: int, batch_size: int,
 def compute_fid(dataset, sample_batch_fn, config, num_images: int = 5000,
                 batch_size: int = 64, seed: int = 0) -> float:
     extractor = get_extractor(config)
-    name = config.get("dataset", "data")
+    name = config.get("dataset")
+    if not name:
+        # no dataset name: derive one from the data location, or two
+        # different datasets evaluated from the same working directory
+        # would silently share cached real statistics
+        import hashlib
+        path = os.path.abspath(str(config.get("data_path", "data")))
+        name = "data_" + hashlib.sha1(path.encode()).hexdigest()[:10]
     # The cache key must encode the extractor identity: the reference had
     # one fixed extractor (sagan/main.py:48-66) so its `{name}_{size}_{n}`
     # contract was safe; with pluggable extractors a key that omits it

@@ -616,7 +616,9 @@ class Trainer:
             count = 0
             acc: dict[str, float] = {}
             acc_n = 0
+            acc_last = -1   # call index of the newest accumulated fetch
             timer = StepTimer()
+            timer_last = 0  # call index of the newest timed fetch
             skip = resume_skip if epoch == start_epoch else 0
             for images, labels in self._device_batches(epoch, skip):
                 if tracer and epoch == start_epoch:
@@ -624,7 +626,6 @@ class Trainer:
                     tracer.step(count)
                 self.state, metrics = self.train_step(self.state, images,
                                                       labels)
-                timer.tick()
                 count += 1
                 if self._preempted:
                     if tracer:
@@ -641,12 +642,18 @@ class Trainer:
                     return
                 if count % summary_freq == 0:
                     fetched = dict(jax.device_get(metrics))
+                    # the fetch above is the only true execution barrier
+                    # (block_until_ready does not wait on this backend):
+                    # time the calls since the previous fetch
+                    timer.tick(count - timer_last)
+                    timer_last = count
                     var_means = fetched.pop("G_var_means", None)
                     grad_norms = fetched.pop("G_grad_norms", None)
                     m = {k: float(v) for k, v in fetched.items()}
                     for k, v in m.items():
                         acc[k] = acc.get(k, 0.0) + v
                     acc_n += 1
+                    acc_last = count
                     if self.writer:
                         step_now = self.global_step()
                         self.writer.scalars(
@@ -673,18 +680,28 @@ class Trainer:
             step = self.global_step()
             epoch_time = time.time() - t0
             fetched = dict(jax.device_get(metrics))
+            timer.tick(count - timer_last)
             fetched.pop("G_var_means", None)
             grad_norms = fetched.pop("G_grad_norms", None)
             m = {k: float(v) for k, v in fetched.items()}
-            for k, v in m.items():
-                acc[k] = acc.get(k, 0.0) + v
-            acc_n += 1
+            if acc_last != count:
+                # final-step fetch — but only if the in-loop summary
+                # cadence didn't already accumulate this very call
+                # (summary_freq dividing the call count would otherwise
+                # double-count the last step in every epoch)
+                for k, v in m.items():
+                    acc[k] = acc.get(k, 0.0) + v
+                acc_n += 1
             # Epoch scalars are the mean of the sampled per-summary-step
             # fetches (the reference accumulates tf.keras.metrics.Mean
             # over every step, sagan/main.py:274-278 — we sample every
             # summary_step_freq to avoid per-step device syncs; see
             # PARITY.md)
             mean = {k: v / acc_n for k, v in acc.items()}
+            # fetch-to-fetch execution time per step; epochs too short to
+            # contain two fetches fall back to whole-epoch wall clock
+            step_ms = (timer.mean_ms() or 1000.0 * epoch_time / count) \
+                / self.steps_per_call
             if self.writer:
                 scalars = {
                     "generator_loss": mean["G_loss"],
@@ -692,7 +709,7 @@ class Trainer:
                     "G_grad_norm": mean["G_grad_norm"],
                     "D_grad_norm": mean["D_grad_norm"],
                     "epoch_time_sec": epoch_time,
-                    "step_time_ms": timer.mean_ms() / self.steps_per_call,
+                    "step_time_ms": step_ms,
                     "lr_g": float(self.sched_g(step)),
                     "lr_d": float(self.sched_d(step * config.get(
                         "update_ratio", 1))),
@@ -718,7 +735,7 @@ class Trainer:
             print(f"epoch {epoch}: G_loss={mean['G_loss']:.4f} "
                   f"D_loss={mean['D_loss']:.4f} time={epoch_time:.1f}s "
                   f"({imgs_per_sec:.1f} imgs/s, "
-                  f"{timer.mean_ms() / self.steps_per_call:.2f} ms/step)",
+                  f"{step_ms:.2f} ms/step)",
                   flush=True)
 
             # checkpoint at epoch 5 then every 10 (sagan/main.py:284-287)

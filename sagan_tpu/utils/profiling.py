@@ -52,17 +52,29 @@ class TraceWindow:
 
 
 class StepTimer:
-    """Rolling wall-clock step statistics."""
+    """Rolling wall-clock step statistics from fetch-to-fetch deltas.
+
+    On this backend dispatch runs asynchronously far ahead of execution
+    (CLAUDE.md: ``block_until_ready`` is not a barrier), so ticking after
+    every *dispatched* call would measure dispatch rate — up to 300x
+    optimistic.  Instead, call ``tick(steps)`` only at true
+    synchronization points (a metric ``device_get``), passing the number
+    of steps executed since the previous tick; the recorded per-step
+    time then reflects real execution.  ``start()`` arms the timer
+    without recording (use it after warmup/compile)."""
 
     def __init__(self, window: int = 100):
         self.window = window
         self._times: list[float] = []
         self._last = None
 
-    def tick(self) -> None:
+    def start(self) -> None:
+        self._last = time.perf_counter()
+
+    def tick(self, steps: int = 1) -> None:
         now = time.perf_counter()
-        if self._last is not None:
-            self._times.append(now - self._last)
+        if self._last is not None and steps > 0:
+            self._times.append((now - self._last) / steps)
             if len(self._times) > self.window:
                 self._times.pop(0)
         self._last = now

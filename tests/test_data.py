@@ -238,3 +238,50 @@ def test_file_sharding_across_hosts(tmp_path):
     full = ImageDataset(d, batch_size=128, shuffle_buffer=1)
     expected = sorted(np.concatenate([b[1] for b in full.epoch(0)]).tolist())
     assert together == expected
+
+
+def test_lockstep_equal_batch_count_with_uneven_shards(tmp_path):
+    """Hosts with unequal local record counts still yield exactly
+    steps_per_epoch batches each (truncate-or-wrap): unequal counts
+    would desync the per-host train-step calls and hang the cross-host
+    gradient collective."""
+    from sagan_tpu.data.synthetic import make_synthetic_dataset
+
+    # 3 shard files over 2 hosts: host0 owns 2 files, host1 owns 1
+    d = make_synthetic_dataset(str(tmp_path / "uneven"), num=120,
+                               img_size=8, num_classes=4, num_shards=3)
+    counts = []
+    for pi in range(2):
+        ds = ImageDataset(d, batch_size=10, shuffle_buffer=1,
+                          process_index=pi, process_count=2,
+                          num_workers=2, cache_in_memory=False)
+        n = sum(1 for _ in ds.epoch(0))
+        assert n == ds.steps_per_epoch, (pi, n, ds.steps_per_epoch)
+        counts.append(n)
+    assert counts[0] == counts[1] == 120 // 2 // 10
+    # cached path obeys the same contract
+    for pi in range(2):
+        ds = ImageDataset(d, batch_size=10, shuffle_buffer=1,
+                          process_index=pi, process_count=2,
+                          num_workers=2, cache_in_memory=True)
+        assert sum(1 for _ in ds.epoch(0)) == ds.steps_per_epoch
+
+
+def test_corrupt_record_propagates_from_prefetch_thread(tmp_path):
+    """A corrupt TFRecord must raise at the consumer, not silently end
+    the epoch early (which would train on a truncated dataset and,
+    multi-host, hang the other processes in a collective)."""
+    from sagan_tpu.data.synthetic import make_synthetic_dataset
+
+    d = make_synthetic_dataset(str(tmp_path / "c"), num=64, img_size=8,
+                               num_classes=4)
+    path = os.path.join(d, "data.tfrecords")
+    with open(path, "r+b") as f:
+        f.seek(0, os.SEEK_END)
+        size = f.tell()
+        f.truncate(size // 2 + 7)   # chop mid-record (off any boundary)
+    # metadata still claims 64 records; the stream must error, not stop
+    ds = ImageDataset(d, batch_size=8, shuffle_buffer=1,
+                      cache_in_memory=False, use_native=False)
+    with pytest.raises(Exception):
+        list(ds.epoch(0))

@@ -157,3 +157,38 @@ def test_256px_generator_and_train_step():
     state, metrics = step(state, im, lb)
     assert np.isfinite(float(metrics["G_loss"]))
     assert np.isfinite(float(metrics["D_loss"]))
+
+
+@pytest.mark.parametrize("model", ["vanilla", "resnet"])
+def test_attention_knobs_reach_both_model_families(model):
+    """Regression: the resnet family used to drop use_pallas /
+    attn_downsample on the floor, so the trainer's GSPMD guard
+    (use_pallas=False for model_parallel runs) was silently ignored for
+    the pod configs and attn_downsample=False built a different
+    architecture than requested."""
+    cfg = make_config(model=model, img_size=32, gf_dim=8, df_dim=8,
+                      attn_dim_G=[16], attn_dim_D=[16],
+                      use_label=(model == "resnet"),
+                      use_pallas=False, attn_downsample=False)
+    for net in (get_generator(cfg), get_discriminator(cfg)):
+        attns = [m for name, m in net.named_modules()
+                 if "attn" in name] if hasattr(net, "named_modules") else []
+        if not attns:  # fall back to a scan over attributes
+            from sagan_tpu.nn.attention import SelfAttention
+
+            def collect(mod, out):
+                for v in mod.__dict__.values():
+                    if isinstance(v, SelfAttention):
+                        out.append(v)
+                    elif hasattr(v, "__dict__") and hasattr(v, "init"):
+                        collect(v, out)
+                return out
+            attns = collect(net, [])
+            for blocks in getattr(net, "blocks", []):
+                for item in (blocks if isinstance(blocks, tuple) else ()):
+                    if isinstance(item, SelfAttention):
+                        attns.append(item)
+        assert attns, f"no attention modules found in {model}"
+        for a in attns:
+            assert a.use_pallas is False
+            assert a.downsample is False
