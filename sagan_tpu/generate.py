@@ -9,7 +9,13 @@ and write PNG grids and/or an npz of uint8 images.
 
     python -m sagan_tpu.generate --config_path example_configs/foo.py \
         [--num 64] [--batch 64] [--seed 0] [--truncation 0.5] \
-        [--class_id 207] [--out samples/foo] [--format png|npz|both]
+        [--class_id 207] [--out samples/foo] [--format png|npz|both] \
+        [--step N] [--export g.npz | --weights g.npz]
+
+``--export g.npz`` writes the evaluation generator (EMA when tracked)
+as one flat numpy archive — the deployment format: serving needs only
+the config + that file, no Orbax checkpoint tree (``--weights g.npz``
+samples from it).  ``--step`` pins a specific checkpointed step.
 
 ``--truncation t`` applies the BigGAN truncation trick (z drawn from a
 standard normal truncated to [-t, t]; smaller t → higher fidelity, lower
@@ -37,13 +43,14 @@ from .utils.config import load_config_file, resolve_config
 from .utils.images import save_image_grid
 
 
-def restore_eval_state(config: dict):
-    """Latest checkpoint → (generator, eval variables {params, aux}).
+def restore_eval_state(config: dict, step: int | None = None):
+    """Checkpoint → (generator, eval variables {params, aux}).
 
     Rebuilds the exact TrainState template the Trainer checkpoints
     (G+D variables, both optimizer states, step, RNG, optional EMA) so
     Orbax can restore structurally, then selects the EMA parameters for
-    evaluation when the run tracked them.
+    evaluation when the run tracked them.  ``step`` pins a specific
+    checkpointed step (default: the newest readable one).
     """
     from .train.checkpoint import CheckpointManager
 
@@ -68,7 +75,8 @@ def restore_eval_state(config: dict):
         ema_g=(jax.tree.map(jnp.copy, vars_g["params"])
                if config.get("g_ema_decay", 0.0) > 0 else None))
     mgr = CheckpointManager(ckpt_dir)
-    state = mgr.restore_latest(template)
+    state = (mgr.restore_step(step, template) if step is not None
+             else mgr.restore_latest(template))
     mgr.close()
     if state is None:
         raise FileNotFoundError(f"no checkpoints under {ckpt_dir!r}")
@@ -77,6 +85,60 @@ def restore_eval_state(config: dict):
     eval_vars = ({"params": state.ema_g, "aux": state.vars_g["aux"]}
                  if state.ema_g is not None else state.vars_g)
     return gen, eval_vars
+
+
+# -- standalone weight export / import (serving without Orbax) -------------
+
+
+def _flat_with_paths(tree):
+    from jax.tree_util import tree_flatten_with_path
+
+    leaves, treedef = tree_flatten_with_path(tree)
+    keys = ["/".join(str(getattr(k, "key", k)) for k in path)
+            for path, _leaf in leaves]
+    return keys, [leaf for _p, leaf in leaves], treedef
+
+
+def export_generator_npz(gen, eval_vars, out_path: str) -> str:
+    """Write the evaluation generator's variables to one ``.npz``.
+
+    Deployment format: flat ``{params,aux}/<tree/path>`` arrays — no
+    Orbax, no optimizer state, no discriminator; loadable anywhere with
+    numpy + this module (``load_generator_npz``)."""
+    arrays = {}
+    for section in ("params", "aux"):
+        keys, leaves, _ = _flat_with_paths(eval_vars[section])
+        for k, leaf in zip(keys, leaves):
+            arrays[f"{section}/{k}"] = np.asarray(leaf)
+    np.savez(out_path, **arrays)
+    return out_path
+
+
+def load_generator_npz(config: dict, path: str):
+    """(generator, eval variables) from an ``export_generator_npz`` file
+    — structure comes from the config's architecture; every template
+    leaf must be present in the archive."""
+    gen = get_generator(config)
+    template = gen.init(jax.random.PRNGKey(0))
+    with np.load(path) as data:
+        out = {}
+        for section in ("params", "aux"):
+            keys, leaves, treedef = _flat_with_paths(template[section])
+            new = []
+            for k, leaf in zip(keys, leaves):
+                name = f"{section}/{k}"
+                if name not in data:
+                    raise KeyError(
+                        f"{path} lacks {name} — architecture mismatch "
+                        f"with the supplied config")
+                arr = data[name]
+                if arr.shape != leaf.shape:
+                    raise ValueError(
+                        f"{name}: shape {arr.shape} != template "
+                        f"{leaf.shape}")
+                new.append(jnp.asarray(arr, leaf.dtype))
+            out[section] = jax.tree.unflatten(treedef, new)
+    return gen, out
 
 
 def sample_images(gen, eval_vars, num: int, batch: int, z_dim: int,
@@ -118,6 +180,15 @@ def main(argv=None):
                     help="output dir (default samples/<config name>)")
     ap.add_argument("--format", choices=("png", "npz", "both"),
                     default="png")
+    ap.add_argument("--step", type=int, default=None,
+                    help="restore this checkpointed step (default latest)")
+    ap.add_argument("--weights", default=None,
+                    help="sample from an exported generator .npz instead "
+                         "of a checkpoint directory")
+    ap.add_argument("--export", default=None, metavar="G_NPZ",
+                    help="export the evaluation generator to a "
+                         "standalone .npz (serving without Orbax) and "
+                         "exit")
     args = ap.parse_args(argv)
 
     config = resolve_config(load_config_file(args.config_path))
@@ -131,7 +202,14 @@ def main(argv=None):
             raise SystemExit(
                 f"config lacks img_size/num_classes and no "
                 f"metadata.pickle under {config['data_path']!r}")
-    gen, eval_vars = restore_eval_state(config)
+    if args.weights:
+        gen, eval_vars = load_generator_npz(config, args.weights)
+    else:
+        gen, eval_vars = restore_eval_state(config, step=args.step)
+    if args.export:
+        path = export_generator_npz(gen, eval_vars, args.export)
+        print(f"exported generator weights: {path}")
+        return [path]
     imgs = sample_images(
         gen, eval_vars, num=args.num, batch=args.batch,
         z_dim=config["z_dim"],

@@ -31,6 +31,26 @@ class CheckpointManager:
     def save(self, step: int, state) -> None:
         self.mgr.save(step, args=self._ocp.args.StandardSave(state))
 
+    def restore_step(self, step: int, abstract_state):
+        """Restore one specific checkpointed step (raises KeyError when
+        the step does not exist)."""
+        if step not in set(self.mgr.all_steps()):
+            raise KeyError(
+                f"no checkpoint at step {step}; available: "
+                f"{sorted(self.mgr.all_steps())}")
+        target = jax.tree.map(self._abstract, abstract_state)
+        return self.mgr.restore(
+            step, args=self._ocp.args.StandardRestore(target))
+
+    @staticmethod
+    def _abstract(x):
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                        sharding=x.sharding)
+        if hasattr(x, "shape"):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype)
+        return x
+
     def restore_latest(self, abstract_state):
         """Restore the newest readable checkpoint shaped like
         ``abstract_state``; None if the directory has no checkpoints.
@@ -47,15 +67,7 @@ class CheckpointManager:
         if not steps:
             return None
 
-        def _abstract(x):
-            if isinstance(x, jax.Array):
-                return jax.ShapeDtypeStruct(x.shape, x.dtype,
-                                            sharding=x.sharding)
-            if hasattr(x, "shape"):
-                return jax.ShapeDtypeStruct(x.shape, x.dtype)
-            return x
-
-        target = jax.tree.map(_abstract, abstract_state)
+        target = jax.tree.map(self._abstract, abstract_state)
         last_err, bad_steps = None, []
         restored = None
         for step in steps:

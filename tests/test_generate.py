@@ -91,3 +91,49 @@ def test_generate_missing_checkpoint_friendly_error(tmp_path):
     with pytest.raises(FileNotFoundError, match="train first"):
         generate.restore_eval_state({"ckpt_dir": str(tmp_path / "nope"),
                                      "z_dim": 8})
+
+
+def test_export_weights_round_trip(tmp_path):
+    """--export writes a standalone npz; --weights samples from it with
+    outputs identical to the checkpoint path (the serving deployment
+    format: config + one flat numpy archive, no Orbax tree)."""
+    cfg = _train_tiny(tmp_path)
+    from sagan_tpu import generate
+
+    cfg_file = tmp_path / "cfg.py"
+    cfg_file.write_text(f"config = {cfg!r}\n")
+    npz = str(tmp_path / "g.npz")
+    written = generate.main(
+        ["--config_path", str(cfg_file), "--export", npz])
+    assert written == [npz] and os.path.exists(npz)
+
+    gen_a, vars_a = generate.restore_eval_state(cfg)
+    gen_b, vars_b = generate.load_generator_npz(cfg, npz)
+    a = generate.sample_images(gen_a, vars_a, num=4, batch=4,
+                               z_dim=cfg["z_dim"], num_classes=1, seed=5)
+    b = generate.sample_images(gen_b, vars_b, num=4, batch=4,
+                               z_dim=cfg["z_dim"], num_classes=1, seed=5)
+    np.testing.assert_array_equal(a, b)
+
+    # architecture mismatch is a loud error, not silent garbage
+    import pytest
+    with pytest.raises((KeyError, ValueError)):
+        generate.load_generator_npz(dict(cfg, gf_dim=16), npz)
+
+
+def test_generate_specific_step(tmp_path):
+    """--step restores a pinned checkpoint; a missing step raises."""
+    cfg = _train_tiny(tmp_path)
+    from sagan_tpu import generate
+    from sagan_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(cfg["ckpt_dir"])
+    steps = sorted(mgr.mgr.all_steps())
+    mgr.close()
+    gen, vars_s = generate.restore_eval_state(cfg, step=steps[0])
+    imgs = generate.sample_images(gen, vars_s, num=2, batch=2,
+                                  z_dim=cfg["z_dim"], num_classes=1)
+    assert np.isfinite(imgs).all()
+    import pytest
+    with pytest.raises(KeyError, match="no checkpoint at step"):
+        generate.restore_eval_state(cfg, step=999999)
