@@ -136,35 +136,21 @@ class ImageDataset:
                 yield from self._file_items(path)
             return
 
-        import queue as _q
         _END = object()
-        queues = [_q.Queue(maxsize=256) for _ in range(workers)]
+        queues = [queue.Queue(maxsize=256) for _ in range(workers)]
         errors: list = []
         stop = threading.Event()
-
-        def _put(w: int, item) -> bool:
-            # bounded-queue put that gives up when the consumer is gone
-            # (early break / preemption): without the stop check, an
-            # abandoned generator leaves every worker blocked on a full
-            # queue forever, leaking threads and file handles each epoch
-            while not stop.is_set():
-                try:
-                    queues[w].put(item, timeout=0.2)
-                    return True
-                except _q.Full:
-                    continue
-            return False
 
         def run(w: int):
             try:
                 for path in files[w::workers]:
                     for item in self._file_items(path):
-                        if not _put(w, item):
+                        if not _put_with_stop(queues[w], item, stop):
                             return
             except Exception as e:  # surface reader errors to the consumer
                 errors.append(e)
             finally:
-                _put(w, _END)
+                _put_with_stop(queues[w], _END, stop)
 
         threads = [threading.Thread(target=run, args=(w,), daemon=True)
                    for w in range(workers)]
@@ -177,6 +163,13 @@ class ImageDataset:
                     item = queues[w].get()
                     if item is _END:
                         live.remove(w)
+                        # raise as soon as a worker dies, not after the
+                        # full drain: a downstream consumer that stops at
+                        # steps_per_epoch (_lockstep) would otherwise
+                        # never see the error and train forever without
+                        # the corrupt shard's data
+                        if errors:
+                            raise errors[0]
                         continue
                     yield item
         finally:
@@ -262,6 +255,20 @@ class ImageDataset:
         return self.epoch(0)
 
 
+def _put_with_stop(q: "queue.Queue", item, stop: threading.Event) -> bool:
+    """Bounded-queue put that gives up when the consumer is gone (early
+    break / preemption): without the stop check, an abandoned generator
+    leaves producer threads blocked on a full queue forever, leaking
+    threads and file handles each epoch."""
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=0.2)
+            return True
+        except queue.Full:
+            continue
+    return False
+
+
 def _lockstep(make_gen, n: int, host: int = 0) -> Iterator[tuple]:
     """Yield EXACTLY ``n`` batches: truncate a long local stream and
     wrap around (re-shuffled) a short one.
@@ -316,23 +323,14 @@ def _prefetch(it: Iterator, depth: int) -> Iterator:
         def __init__(self, exc):
             self.exc = exc
 
-    def _put(item) -> bool:
-        while not stop.is_set():
-            try:
-                q.put(item, timeout=0.2)
-                return True
-            except queue.Full:
-                continue
-        return False
-
     def worker():
         try:
             for item in it:
-                if not _put(item):
+                if not _put_with_stop(q, item, stop):
                     return
-            _put(_END)
+            _put_with_stop(q, _END, stop)
         except BaseException as e:  # re-raised by the consumer below
-            _put(_Error(e))
+            _put_with_stop(q, _Error(e), stop)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()

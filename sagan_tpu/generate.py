@@ -75,9 +75,11 @@ def restore_eval_state(config: dict, step: int | None = None):
         ema_g=(jax.tree.map(jnp.copy, vars_g["params"])
                if config.get("g_ema_decay", 0.0) > 0 else None))
     mgr = CheckpointManager(ckpt_dir)
-    state = (mgr.restore_step(step, template) if step is not None
-             else mgr.restore_latest(template))
-    mgr.close()
+    try:
+        state = (mgr.restore_step(step, template) if step is not None
+                 else mgr.restore_latest(template))
+    finally:
+        mgr.close()
     if state is None:
         raise FileNotFoundError(f"no checkpoints under {ckpt_dir!r}")
     print(f"restored step {int(jax.device_get(state.step))} from {ckpt_dir}"
@@ -90,13 +92,7 @@ def restore_eval_state(config: dict, step: int | None = None):
 # -- standalone weight export / import (serving without Orbax) -------------
 
 
-def _flat_with_paths(tree):
-    from jax.tree_util import tree_flatten_with_path
-
-    leaves, treedef = tree_flatten_with_path(tree)
-    keys = ["/".join(str(getattr(k, "key", k)) for k in path)
-            for path, _leaf in leaves]
-    return keys, [leaf for _p, leaf in leaves], treedef
+from .utils.trees import flatten_with_paths as _flat_with_paths
 
 
 def export_generator_npz(gen, eval_vars, out_path: str) -> str:
@@ -105,6 +101,8 @@ def export_generator_npz(gen, eval_vars, out_path: str) -> str:
     Deployment format: flat ``{params,aux}/<tree/path>`` arrays — no
     Orbax, no optimizer state, no discriminator; loadable anywhere with
     numpy + this module (``load_generator_npz``)."""
+    if not out_path.endswith(".npz"):
+        out_path += ".npz"   # np.savez appends it anyway; return truth
     arrays = {}
     for section in ("params", "aux"):
         keys, leaves, _ = _flat_with_paths(eval_vars[section])

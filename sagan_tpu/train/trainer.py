@@ -448,10 +448,8 @@ class Trainer:
 
     @staticmethod
     def _tree_paths(tree) -> list:
-        return [
-            "/".join(str(getattr(k, "key", k)) for k in path)
-            for path, _ in jax.tree_util.tree_flatten_with_path(tree)[0]
-        ]
+        from ..utils.trees import tree_paths
+        return tree_paths(tree)
 
     def _var_paths(self) -> list:
         return self._tree_paths(self.state.vars_g["params"])
@@ -669,6 +667,10 @@ class Trainer:
                             "sample", make_grid(self.sample_images()),
                             step_now)
                         self.writer.flush()
+                    # re-arm: the summary work above (sample grid, TB
+                    # encode, flush) must not be billed to the next
+                    # timed train-step interval
+                    timer.start()
 
             if tracer:
                 tracer.close()
