@@ -78,11 +78,19 @@ def main():
     state = replicate(mesh, state)
     step = build_train_step(gen, disc, opt_g, opt_d, config, mesh)
 
-    images, labels = next(iter(ds.epoch(0)))       # per-host batch
-    images, labels = shard_batch(mesh, images, labels)
-    assert images.shape[0] == config["global_batch_size"]  # global view
-
-    state, metrics = step(state, images, labels)
+    # Drive a FULL epoch, not one batch: with uneven shard files the
+    # hosts' local record counts differ, and only the lockstep contract
+    # (every host yields exactly steps_per_epoch batches) keeps the
+    # cross-host pmean collectives aligned — a mismatch would hang here
+    # and fail the parent's timeout.
+    count = 0
+    metrics = None
+    for images, labels in ds.epoch(0):
+        images, labels = shard_batch(mesh, images, labels)
+        assert images.shape[0] == config["global_batch_size"]  # global view
+        state, metrics = step(state, images, labels)
+        count += 1
+    assert count == ds.steps_per_epoch, (count, ds.steps_per_epoch)
     jax.block_until_ready(metrics)
     loss = float(jax.device_get(metrics["G_loss"]))
     # fully-addressable checksum of the (replicated, pmean-synced) params
@@ -91,8 +99,8 @@ def main():
         state.vars_g["params"])
     checksum = float(sum(float(np.sum(x)) for x in jax.tree.leaves(local)))
     assert np.isfinite(loss) and np.isfinite(checksum)
-    print(f"MULTIHOST_OK pid={pid} loss={loss:.6f} checksum={checksum:.6f}",
-          flush=True)
+    print(f"MULTIHOST_OK pid={pid} loss={loss:.6f} "
+          f"checksum={checksum:.6f} steps={count}", flush=True)
 
 
 if __name__ == "__main__":

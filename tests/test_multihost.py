@@ -21,11 +21,15 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_distributed_train_step(tmp_path):
+def test_two_process_distributed_train_epoch(tmp_path):
     from sagan_tpu.data.synthetic import make_synthetic_dataset
 
-    data = make_synthetic_dataset(str(tmp_path / "ds"), num=64, img_size=16,
-                                  num_classes=4, num_shards=4, seed=3)
+    # DELIBERATELY uneven: 3 shard files over 2 hosts (host0 owns 2,
+    # host1 owns 1) — the epoch completes only because the loader's
+    # lockstep contract equalizes per-host batch counts; a desync would
+    # hang the cross-host pmean and trip the subprocess timeout
+    data = make_synthetic_dataset(str(tmp_path / "ds"), num=60, img_size=16,
+                                  num_classes=4, num_shards=3, seed=3)
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(repo, "tests", "multihost_worker.py")
@@ -58,3 +62,5 @@ def test_two_process_distributed_train_step(tmp_path):
     assert vals[0]["loss"] == vals[1]["loss"]
     assert vals[0]["checksum"] == vals[1]["checksum"]
     assert {vals[0]["pid"], vals[1]["pid"]} == {"0", "1"}
+    # both hosts ran the same (global-count-derived) number of steps
+    assert vals[0]["steps"] == vals[1]["steps"] != "0"
