@@ -39,7 +39,7 @@ def test_frechet_matches_scipy_sqrtm():
     mu1, s1 = activation_stats(a1)
     mu2, s2 = activation_stats(a2)
     ours = frechet_distance(mu1, s1, mu2, s2)
-    covmean, _ = scipy_linalg.sqrtm(s1 @ s2, disp=False)
+    covmean = scipy_linalg.sqrtm(s1 @ s2)
     ref = (np.sum((mu1 - mu2) ** 2) + np.trace(s1 + s2 - 2 * covmean.real))
     np.testing.assert_allclose(ours, ref, rtol=1e-6)
 
