@@ -23,6 +23,11 @@ CLAUDE.md on block_until_ready):
   current 1.878 ms | vpu_scores 1.928 | exp2 2.013 | nomax 1.805 |
   noexp 1.893 | ev_vpu 2.857 | block/dtype sweep 1.84-2.11 ms
 
+The backward was probed the same way: a variant fed the forward's saved
+row-max/row-sum (skipping both recompute reduce passes) runs at 0.90x —
+slower, the extra [BN,1] input streams outweigh the saved reductions —
+so the flash-style recompute backward is likewise at its floor.
+
 Conclusion: the kernel is at the machine floor for this shape.  The
 cost is NOT the exp (removing it entirely changes nothing), NOT the
 lane-padded MXU dots (computing scores on the VPU instead is neutral),
