@@ -139,6 +139,20 @@ def k_noexp(q_ref, k_ref, v_ref, o_ref):
     o_ref[...] = (o / l).astype(o_ref.dtype)
 
 
+def k_e16(q_ref, k_ref, v_ref, o_ref):
+    # probability tile cast to bf16 immediately after the exp (halves
+    # the tile bytes the EV contraction and row-sum touch)
+    q, k, v = q_ref[...], k_ref[...], v_ref[...]
+    logits = lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    mx = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - mx).astype(jnp.bfloat16)
+    l = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+    o = lax.dot_general(e, v, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)
+    o_ref[...] = (o / l).astype(o_ref.dtype)
+
+
 def k_ev_vpu(q_ref, k_ref, v_ref, o_ref):
     q, k, v = q_ref[...], k_ref[...], v_ref[...]
     logits = lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
@@ -174,7 +188,7 @@ def main():
     ref = timeit("current", _call(k_current), q, k, v)
     for name, kern in [("vpu_scores", k_vpu_scores), ("exp2", k_exp2),
                        ("nomax", k_nomax), ("noexp(floor)", k_noexp),
-                       ("ev_vpu", k_ev_vpu)]:
+                       ("bf16_tiles", k_e16), ("ev_vpu", k_ev_vpu)]:
         out = timeit(name, _call(kern), q, k, v)
         if out is not None and name != "noexp(floor)":
             err = float(jnp.max(jnp.abs(out.astype(jnp.float32)

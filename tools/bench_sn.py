@@ -12,7 +12,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -24,6 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from bench import CHURCH64, build, measure
+
+from sagan_tpu.utils.timing import timeit_best
 
 
 def bench_train_step():
@@ -51,13 +52,10 @@ def bench_isolated():
         u = u / jnp.linalg.norm(u)
         for name, fn in (("xla", spectral_normalize_xla),
                          ("pallas", spectral_normalize_fused)):
+            # fetch-forced: block_until_ready is NOT a barrier on this
+            # backend (CLAUDE.md) — timeit_best forces a value fetch
             f = jax.jit(lambda w, u, fn=fn: fn(w, u, n_iter=1))
-            jax.block_until_ready(f(w, u))
-            t0 = time.perf_counter()
-            for _ in range(100):
-                out = f(w, u)
-            jax.block_until_ready(out)
-            us = (time.perf_counter() - t0) / 100 * 1e6
+            us = timeit_best(f, w, u, iters=100, jit=False) * 1e6
             rows.append({"shape": list(shape), "backend": name,
                          "us_per_call": round(us, 1)})
             print(f"SN {shape} {name}: {us:.1f} us", flush=True)

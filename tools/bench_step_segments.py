@@ -48,77 +48,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import bench
 from sagan_tpu.models import get_discriminator, get_generator
-from sagan_tpu.parallel.mesh import make_mesh, replicate, shard_batch, \
-    stacked_batch_sharding
-from sagan_tpu.train.optim import make_gan_optimizers
 from sagan_tpu.utils.timing import timeit_best
-from sagan_tpu.train.trainer import TrainState, build_train_step
 
-CHURCH64 = {
-    "model": "vanilla", "z_dim": 128, "gf_dim": 16, "df_dim": 16,
-    "img_size": 64, "use_attention": True, "attn_dim_G": [32, 64],
-    "attn_dim_D": [8, 4], "use_label": False, "num_classes": 1,
-    "lr_g": 2e-4, "lr_d": 7e-4, "decay_rate": 0.99, "update_ratio": 1,
-    "loss": "hinge_loss", "num_devices": 1, "batch_size": 64,
-    "global_batch_size": 64, "compute_dtype": "bfloat16",
-    "use_pallas": None, "steps_per_call": 8,
-}
-
-GF64 = {
-    "model": "resnet", "z_dim": 128, "gf_dim": 64, "df_dim": 64,
-    "img_size": 128, "use_attention": True, "attn_dim_G": [32],
-    "attn_dim_D": [32], "use_label": True, "use_cond_bn": True,
-    "num_classes": 1000, "compute_dtype": "bfloat16",
-}
+# the measured configs come from bench.py (one source of truth for the
+# benchmark configs and the fetch-forced measurement discipline)
+CHURCH64 = dict(bench.CHURCH64, compute_dtype="bfloat16",
+                use_pallas=None, steps_per_call=8)
+GF64 = dict(bench.IMAGENET128, gf_dim=64, df_dim=64,
+            compute_dtype="bfloat16")
 
 
-def _build_step(config):
-    mesh = make_mesh(config["num_devices"])
-    gen = get_generator(config)
-    disc = get_discriminator(config)
-    (opt_g, _), (opt_d, _) = make_gan_optimizers(config, steps_per_epoch=100)
-    key = jax.random.PRNGKey(0)
-    vars_g = gen.init(key)
-    vars_d = disc.init(jax.random.fold_in(key, 1))
-    state = TrainState(
-        vars_g=vars_g, vars_d=vars_d,
-        opt_g=opt_g.init(vars_g["params"]),
-        opt_d=opt_d.init(vars_d["params"]),
-        step=jnp.int32(0), rng=jax.random.fold_in(key, 2))
-    state = replicate(mesh, state)
-    step = build_train_step(gen, disc, opt_g, opt_d, config, mesh)
-    rng = np.random.default_rng(0)
-    b, s = config["global_batch_size"], config["img_size"]
-    k = config.get("steps_per_call", 1)
-    images = rng.integers(0, 255, (b, s, s, 3), dtype=np.uint8)
-    labels = rng.integers(0, max(1, config.get("num_classes", 1)), (b,),
-                          dtype=np.int32)
-    if k > 1:
-        sh = stacked_batch_sharding(mesh)
-        images = jax.device_put(np.stack([images] * k), sh)
-        labels = jax.device_put(np.stack([labels] * k), sh)
-    else:
-        images, labels = shard_batch(mesh, images, labels)
-    return step, state, images, labels
-
-
-def _measure_step(config, name, iters=20, reps=3):
-    step, state, images, labels = _build_step(config)
-    k = config.get("steps_per_call", 1)
-    state = jax.tree.map(jnp.copy, state)
-    for _ in range(3):
-        state, m = step(state, images, labels)
-    float(jax.device_get(m["G_loss"]))
-    best = np.inf
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, m = step(state, images, labels)
-        float(jax.device_get(m["G_loss"]))
-        best = min(best, (time.perf_counter() - t0) / (iters * k))
-    print(f"{name:28s}: {best * 1e3:7.3f} ms/step", flush=True)
-    return best
+def _measure_step(config, name):
+    rate = bench.measure(*bench.build(config))   # steps/sec, fetch-forced
+    print(f"{name:28s}: {1000.0 / rate:7.3f} ms/step", flush=True)
+    return rate
 
 
 def differential_church64():

@@ -58,7 +58,11 @@ def check_attention(results, dtype, tol_fwd, tol_bwd):
     from sagan_tpu.ops.pallas_attention import attention_fused
 
     for name, b, n, m, d, c in attention_cases():
-        key = jax.random.PRNGKey(hash(name) % 2**31)
+        # deterministic per-case seed: Python's str hash is salted
+        # per process, which would make the committed artifact (and
+        # near-tolerance pass/fail) vary run to run
+        import zlib
+        key = jax.random.PRNGKey(zlib.crc32(name.encode()) % 2**31)
         kq, kk, kv, kg = jax.random.split(key, 4)
         q = jax.random.normal(kq, (b, n, d), dtype)
         k = jax.random.normal(kk, (b, m, d), dtype)

@@ -38,15 +38,30 @@ def show_data(args):
 
 
 def show_model(args):
-    from sagan_tpu.train.trainer import Trainer
+    # dataset-free: restore just the generator through generate.py's
+    # eval path (building the full Trainer would demand the training
+    # tfrecords on disk and waste a D + optimizer + train-step build
+    # for what is only a sampling call)
+    from sagan_tpu.generate import restore_eval_state, sample_images
     from sagan_tpu.utils.config import load_config_file, resolve_config
     from sagan_tpu.utils.images import save_image_grid
 
     config = resolve_config(load_config_file(args.path))
-    config["num_sample"] = args.num
-    trainer = Trainer(config)
-    save_image_grid(trainer.sample_images(), args.out)
-    print(f"wrote {args.out} at step {trainer.global_step()}")
+    if "img_size" not in config or "num_classes" not in config:
+        from sagan_tpu.data.tfrecord import load_metadata
+        try:
+            config.update(load_metadata(config["data_path"]))
+        except FileNotFoundError:
+            raise SystemExit(
+                "config lacks img_size/num_classes and no "
+                "metadata.pickle is present — pass a trained run's config")
+    gen, eval_vars = restore_eval_state(config)
+    imgs = sample_images(gen, eval_vars, num=args.num, batch=args.num,
+                         z_dim=config["z_dim"],
+                         num_classes=max(1, config.get("num_classes", 1)),
+                         seed=config.get("seed", 0))
+    save_image_grid(imgs, args.out)
+    print(f"wrote {args.out}")
 
 
 def main(argv=None):
