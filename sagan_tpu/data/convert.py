@@ -66,7 +66,7 @@ def _gather_flat(path: str):
 
 def convert(path: str, dataset: str, img_size: int, n_class: int,
             out_dir: str | None = None, seed: int = 0,
-            num_shards: int = 1) -> int:
+            num_shards: int = 1) -> str:
     from PIL import Image
 
     if dataset == "imagenet":
@@ -114,7 +114,7 @@ def convert(path: str, dataset: str, img_size: int, n_class: int,
         pickle.dump({"img_size": img_size, "num_classes": num_classes,
                      "num_records": n}, f)
     print(f"wrote {n} records to {out_dir}")
-    return n
+    return out_dir
 
 
 def main(argv=None):
@@ -127,8 +127,8 @@ def main(argv=None):
     ap.add_argument("--out_dir", default=None)
     ap.add_argument("--num_shards", type=int, default=1)
     args = ap.parse_args(argv)
-    convert(args.path, args.dataset, args.img_size, args.n_class,
-            args.out_dir, num_shards=args.num_shards)
+    return convert(args.path, args.dataset, args.img_size, args.n_class,
+                   args.out_dir, num_shards=args.num_shards)
 
 
 if __name__ == "__main__":
