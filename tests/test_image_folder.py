@@ -83,3 +83,24 @@ def test_legacy_cli_config_mapping():
     assert cfg["use_label"] and cfg["attn_dim_G"] == [32]
     assert cfg["lr_g"] == 1e-4 and cfg["lr_d"] == 4e-4
     assert cfg["log_dir"] == "runroot/logs"
+
+
+def test_legacy_cli_end_to_end(tmp_path, monkeypatch):
+    """The legacy flat-flag driver (/root/reference/main.py:190-222)
+    trains end-to-end: dataset metadata overrides the hardcoded 128px,
+    --debug skips checkpointing, one epoch completes with finite
+    losses."""
+    import numpy as np
+
+    from sagan_tpu.data.synthetic import make_synthetic_dataset
+    from sagan_tpu.legacy_main import main as legacy_main
+
+    data = make_synthetic_dataset(str(tmp_path / "ds"), num=16, img_size=16,
+                                  num_classes=4, seed=2)
+    monkeypatch.chdir(tmp_path)
+    trainer = legacy_main([
+        "--debug", "--path_root", str(tmp_path / "run"),
+        "--data_path", data, "-b", "2", "-e", "1", "-n", "4"])
+    assert trainer.global_step() == trainer.steps_per_epoch > 0
+    assert trainer.config["img_size"] == 16     # metadata won
+    assert np.isfinite(trainer.sample_images()).all()
