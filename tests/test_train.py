@@ -446,3 +446,21 @@ def test_pod_recipe_32_wide_subprocess():
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "pod recipe ok: mesh OrderedDict([('data', 16), ('model', 2)])" \
         in proc.stdout or "pod recipe ok" in proc.stdout, proc.stdout
+
+
+def test_config_path_cli_end_to_end(data16, tmp_path):
+    """The primary --config_path driver (the reference's
+    sagan/main.py:350-372 surface): runpy config file + --debug
+    truncation, end-to-end on the virtual mesh."""
+    cfg = tiny_config(data16, num_devices=8, epoch=5,
+                      ckpt_dir=str(tmp_path / "ckpt"),
+                      img_dir=str(tmp_path / "imgs"))
+    cfg_file = tmp_path / "cli_cfg.py"
+    cfg_file.write_text(f"config = {cfg!r}\n")
+
+    from sagan_tpu.main import main as cli_main
+    trainer = cli_main(["--config_path", str(cfg_file), "--debug"])
+    # --debug clamps epochs to 2 (reference semantics: truncated run)
+    assert trainer.config["epoch"] == 2
+    assert trainer.global_step() == 2 * trainer.steps_per_epoch
+    assert np.isfinite(trainer.sample_images()).all()
