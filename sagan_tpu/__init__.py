@@ -8,14 +8,19 @@ jimmYA-1995/Self-Attention-GAN (TF2) designed TPU-first:
 * real spectral normalization and fused Pallas self-attention
   (``sagan_tpu.ops``);
 * 'vanilla' and 'resnet' G/D families (``sagan_tpu.models``);
-* shard_map data parallelism over an ICI mesh with cross-replica
-  BatchNorm and pmean gradient reduction (``sagan_tpu.parallel``);
+* shard_map data parallelism with cross-replica BatchNorm and pmean
+  gradient reduction, GSPMD tensor parallelism (``model_parallel``),
+  gradient accumulation, and multi-host (DCN) meshes
+  (``sagan_tpu.parallel``);
 * TFRecord-compatible data pipeline with a native C++ record reader
   (``sagan_tpu.data``);
-* TTUR hinge-loss trainer, Orbax checkpointing, TensorBoard-format
-  event writing, FID evaluation (``sagan_tpu.train``);
+* TTUR hinge-loss trainer with EMA, preemption-safe exact resume,
+  corruption-tolerant Orbax checkpointing, TensorBoard-format event
+  writing, FID + Inception Score evaluation (``sagan_tpu.train``);
 * the reference's ``main.py --config_path example_configs/*.py`` CLI
-  (``sagan_tpu.main``).
+  (``sagan_tpu.main``), offline evaluation (``sagan_tpu.evaluate``),
+  and sampling/serving with standalone weight export
+  (``sagan_tpu.generate``).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
