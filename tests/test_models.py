@@ -192,3 +192,39 @@ def test_attention_knobs_reach_both_model_families(model):
         for a in attns:
             assert a.use_pallas is False
             assert a.downsample is False
+
+
+def test_config_space_property_sweep():
+    """Property sweep: every valid config combination in a sampled grid
+    builds both networks and runs a finite forward — guards the shape
+    logic (attention insertion points, cond-BN gating, label concat,
+    PatchGAN vs projection heads) across the whole config space rather
+    than a few hand-picked cases."""
+    import itertools
+
+    rng = np.random.default_rng(7)
+    cases = list(itertools.product(
+        ("vanilla", "resnet"),          # model
+        (16, 32),                       # img_size
+        (False, True),                  # use_label
+        (False, True),                  # attention
+    ))
+    for model, img_size, use_label, attn in cases:
+        sides = [img_size // (2 ** i) for i in range(1, 3)]
+        cfg = make_config(
+            model=model, img_size=img_size, gf_dim=8, df_dim=8,
+            use_label=use_label, use_cond_bn=use_label,
+            use_attention=attn,
+            attn_dim_G=[rng.choice(sides)] if attn else [],
+            attn_dim_D=[rng.choice(sides)] if attn else [])
+        gen = get_generator(cfg)
+        disc = get_discriminator(cfg)
+        vg = gen.init(KEY)
+        vd = disc.init(jax.random.fold_in(KEY, 1))
+        z = jax.random.normal(KEY, (2, 16))
+        labels = jnp.array([0, 3])
+        img, _ = gen(vg, z, labels, train=True)
+        out, _ = disc(vd, img, labels, train=True)
+        assert img.shape == (2, img_size, img_size, 3), (model, img_size)
+        assert np.isfinite(np.asarray(img)).all(), (model, img_size)
+        assert np.isfinite(np.asarray(out)).all(), (model, img_size)
