@@ -28,6 +28,14 @@ labeled as such.)
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "imgs/sec", "vs_baseline": R,
    "detail": {...}}
+
+Driver-budget discipline (round-2 lesson, BENCH_r02.json rc=124): the
+headline line is printed + flushed IMMEDIATELY after the church64
+measurement — before any other config compiles — and the secondary
+configs (imagenet128 gf16/gf64) run afterwards under a wall-clock
+budget (``BENCH_BUDGET_S``, default 420 s), writing their results
+progressively to ``BENCH_DETAIL.json`` instead of stdout.  A cold
+compile of a later config can therefore never starve the headline.
 """
 
 from __future__ import annotations
@@ -253,6 +261,8 @@ def bench_config(config, name, interleave_with=None, reps=3):
 
 
 def main():
+    t0 = time.perf_counter()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "420"))
     dev = jax.devices()[0]
     peak = chip_peak(dev.device_kind)
 
@@ -262,18 +272,8 @@ def main():
                  fuse_d_batches=False)
     church = bench_config(optimized, "church64", interleave_with=naive)
 
-    imagenet = bench_config(
-        dict(IMAGENET128, compute_dtype="bfloat16", use_pallas=None,
-             steps_per_call=4),
-        "imagenet128_cond")
-
-    # paper-scale SAGAN (gf=64, arXiv:1805.08318 setup) — demonstrates
-    # MXU saturation on a model large enough to fill the systolic array
-    paper = bench_config(
-        dict(IMAGENET128, gf_dim=64, df_dim=64, compute_dtype="bfloat16",
-             use_pallas=None, steps_per_call=4),
-        "imagenet128_paper_gf64")
-
+    # Headline out FIRST (and flushed): everything after this point is
+    # bonus detail that must never cost the driver its one JSON line.
     print(json.dumps({
         "metric": "sagan_church64_train_imgs_per_sec_per_chip",
         "value": church["imgs_per_sec_per_chip"],
@@ -287,9 +287,49 @@ def main():
                 "naive fp32 unfused non-donated JAX transcription of the "
                 "TF2 reference's step, same process/chip (the reference "
                 "publishes no numbers; BASELINE.md)"),
-            "configs": [church, imagenet, paper],
+            "configs": [church],
+            "secondary_configs": "BENCH_DETAIL.json",
         },
-    }))
+    }), flush=True)
+
+    # Secondary configs under the remaining wall-clock budget; results
+    # go to BENCH_DETAIL.json progressively (stdout stays one line).
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    detail = {"device_kind": dev.device_kind,
+              "chip_bf16_peak_tflops": peak,
+              "headline": church, "configs": []}
+
+    def flush_detail():
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+            f.write("\n")
+
+    flush_detail()
+    secondary = [
+        ("imagenet128_cond",
+         dict(IMAGENET128, compute_dtype="bfloat16", use_pallas=None,
+              steps_per_call=4)),
+        # paper-scale SAGAN (gf=64, arXiv:1805.08318 setup) — MXU
+        # saturation on a model large enough to fill the systolic array
+        ("imagenet128_paper_gf64",
+         dict(IMAGENET128, gf_dim=64, df_dim=64, compute_dtype="bfloat16",
+              use_pallas=None, steps_per_call=4)),
+    ]
+    # a cold remote compile costs 40-300 s; only start a secondary
+    # config when at least 120 s of budget remain
+    for name, cfg in secondary:
+        remaining = budget_s - (time.perf_counter() - t0)
+        if remaining < 120.0:
+            detail["skipped"] = detail.get("skipped", []) + [
+                {"name": name, "reason": f"budget ({remaining:.0f}s left)"}]
+            flush_detail()
+            continue
+        try:
+            detail["configs"].append(bench_config(cfg, name))
+        except Exception as e:  # secondary must never break rc=0
+            detail["configs"].append({"name": name, "error": repr(e)})
+        flush_detail()
 
 
 if __name__ == "__main__":

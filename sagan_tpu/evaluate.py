@@ -38,7 +38,7 @@ def main(argv=None):
                     help="skip the Inception Score")
     args = ap.parse_args(argv)
 
-    from .train.fid import compute_fid_for_trainer
+    from .train.fid import compute_fid_for_trainer, get_extractor
     from .train.trainer import Trainer
     from .utils.config import load_config_file, resolve_config
 
@@ -53,23 +53,29 @@ def main(argv=None):
             f"train first (python -m sagan_tpu.main --config_path ...)")
 
     fid_n = args.num_images or config.get("fid_num_images", 5000)
+    # Label the backend ACTUALLY instantiated (get_extractor falls back
+    # to the random-feature proxy when the configured weights are
+    # missing/unusable — config intent must not be reported as fact)
+    extractor = get_extractor(config)
     result = {
         "step": step,
         "ema": trainer.state.ema_g is not None,
         "num_images": fid_n,
-        "extractor": ("inception" if config.get("inception_weights")
-                      else "random_proxy"),
+        "extractor": extractor.backend,
     }
-    result["fid"] = float(compute_fid_for_trainer(trainer, num_images=fid_n))
+    result["fid"] = float(compute_fid_for_trainer(trainer, num_images=fid_n,
+                                                  extractor=extractor))
     if not args.no_is:
-        from .train.iscore import inception_score_for_trainer
+        from .train.iscore import get_classifier, inception_score_for_trainer
         # --num_images overrides; otherwise the IS sample count follows
         # its own config key (is_num_images, falling back to
         # fid_num_images) — report the count actually used
         is_n = args.num_images or config.get("is_num_images", fid_n)
+        classifier = get_classifier(config)
         is_mean, is_std = inception_score_for_trainer(
-            trainer, num_images=is_n)
+            trainer, num_images=is_n, classifier=classifier)
         result["is_num_images"] = is_n
+        result["is_classifier"] = classifier.backend
         result["inception_score"] = round(float(is_mean), 4)
         result["inception_score_std"] = round(float(is_std), 4)
     print(json.dumps(result))

@@ -71,34 +71,71 @@ class CheckpointManager:
         last_err, bad_steps = None, []
         restored = None
         for step in steps:
-            try:
-                restored = self.mgr.restore(
-                    step, args=self._ocp.args.StandardRestore(target))
+            # Retry once before declaring the step unreadable: a
+            # transient failure (network-FS hiccup, momentary OOM during
+            # restore) must not cost the newest checkpoint.
+            for attempt in (1, 2):
+                try:
+                    restored = self.mgr.restore(
+                        step, args=self._ocp.args.StandardRestore(target))
+                    break
+                except Exception as ex:
+                    last_err = ex
+                    if attempt == 1:
+                        print(f"checkpoint step {step} failed to restore "
+                              f"({type(ex).__name__}: {ex}); retrying "
+                              f"once", flush=True)
+            if restored is not None:
                 break
-            except Exception as ex:  # unreadable/corrupt step: try older
-                print(f"checkpoint step {step} is unreadable "
-                      f"({type(ex).__name__}: {ex}); falling back to an "
-                      f"older checkpoint", flush=True)
-                last_err = ex
-                bad_steps.append(step)
+            print(f"checkpoint step {step} is unreadable after retry; "
+                  f"falling back to an older checkpoint", flush=True)
+            bad_steps.append(step)
         if restored is None:
             raise RuntimeError(
                 f"all {len(steps)} checkpoints under the manager are "
                 f"unreadable; newest failure: {last_err!r}")
-        # Drop the corrupt steps: Orbax silently skips `save(step)` when
-        # the step already exists, so a resumed run that re-reaches a
-        # rotten step number would never replace it — and every restore
-        # would fall back again, losing all progress past the older
-        # checkpoint each time.
+        # Quarantine (NOT delete) the corrupt steps: Orbax silently
+        # skips `save(step)` when the step already exists, so a resumed
+        # run that re-reaches a rotten step number would never replace
+        # it — and every restore would fall back again, losing all
+        # progress past the older checkpoint each time.  Renaming the
+        # step dir to <step>.corrupt unblocks re-saving while keeping
+        # the bytes on disk for forensics.
         for step in bad_steps:
             try:
-                self.mgr.delete(step)
-                print(f"deleted unreadable checkpoint step {step}",
-                      flush=True)
+                self._quarantine(step)
             except Exception as ex:
-                print(f"could not delete unreadable checkpoint step "
+                print(f"could not quarantine unreadable checkpoint step "
                       f"{step}: {ex}", flush=True)
         return restored
+
+    def _quarantine(self, step: int) -> None:
+        root = str(self.mgr.directory)
+        moved = False
+        for entry in os.listdir(root):
+            src = os.path.join(root, entry)
+            # Orbax names step dirs "<step>" (or "<prefix>_<step>" /
+            # zero-padded under non-default options); match any dir
+            # whose trailing numeric component equals the step.
+            tail = entry.rsplit("_", 1)[-1]
+            if os.path.isdir(src) and tail.isdigit() and int(tail) == step:
+                dst = src + ".corrupt"
+                if os.path.exists(dst):
+                    import shutil
+                    shutil.rmtree(dst)
+                os.rename(src, dst)
+                print(f"quarantined unreadable checkpoint step {step} -> "
+                      f"{dst}", flush=True)
+                moved = True
+        if not moved:
+            # fall back to deletion through the manager rather than
+            # leaving the rotten step blocking future saves
+            self.mgr.delete(step)
+            print(f"deleted unreadable checkpoint step {step} (no step "
+                  f"dir found to quarantine)", flush=True)
+        else:
+            # refresh the manager's step cache after the rename
+            self.mgr.reload()
 
     def latest_step(self):
         return self.mgr.latest_step()

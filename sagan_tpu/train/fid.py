@@ -110,17 +110,31 @@ class RandomConvFeatures:
 
 
 def get_extractor(config: dict):
+    """Build the FID feature extractor.  The returned object carries a
+    ``backend`` attribute ("inception" or "random_proxy") naming what
+    was ACTUALLY instantiated — report that, not the config intent,
+    because a configured-but-missing ``inception_weights`` under
+    ``fid_extractor='auto'`` silently falls back to the proxy."""
     kind = config.get("fid_extractor", "auto")
     weights = config.get("inception_weights")
     if kind in ("inception", "auto") and weights and os.path.exists(weights):
         from .inception import InceptionV3Features
-        return InceptionV3Features(weights)
+        ext = InceptionV3Features(weights)
+        ext.backend = "inception"
+        return ext
     if kind == "inception":
         raise FileNotFoundError(
             "fid_extractor='inception' needs config['inception_weights'] "
             "pointing at a local weights file (no network egress here)")
-    return RandomConvFeatures(config["img_size"],
-                              dim=config.get("fid_feature_dim", 256))
+    if weights:  # configured but unusable under 'auto': be loud
+        print(f"WARNING: inception_weights={weights!r} does not exist; "
+              f"falling back to the random-feature PROXY extractor — the "
+              f"resulting FID is not comparable to published numbers",
+              flush=True)
+    ext = RandomConvFeatures(config["img_size"],
+                             dim=config.get("fid_feature_dim", 256))
+    ext.backend = "random_proxy"
+    return ext
 
 
 # --------------------------------------------------------------------------
@@ -170,8 +184,10 @@ def fake_stats(sample_batch_fn, extractor, num_images: int, batch_size: int,
 
 
 def compute_fid(dataset, sample_batch_fn, config, num_images: int = 5000,
-                batch_size: int = 64, seed: int = 0) -> float:
-    extractor = get_extractor(config)
+                batch_size: int = 64, seed: int = 0,
+                extractor=None) -> float:
+    if extractor is None:
+        extractor = get_extractor(config)
     name = config.get("dataset")
     if not name:
         # no dataset name: derive one from the data location, or two
@@ -193,7 +209,8 @@ def compute_fid(dataset, sample_batch_fn, config, num_images: int = 5000,
     return frechet_distance(mu_f, s_f, mu_r, s_r)
 
 
-def compute_fid_for_trainer(trainer, num_images: int | None = None) -> float:
+def compute_fid_for_trainer(trainer, num_images: int | None = None,
+                            extractor=None) -> float:
     config = trainer.config
     num_images = num_images or config.get("fid_num_images", 5000)
     z_dim = config["z_dim"]
@@ -209,4 +226,5 @@ def compute_fid_for_trainer(trainer, num_images: int | None = None) -> float:
 
     return compute_fid(trainer.ds_train, sample_batch, config,
                        num_images=num_images,
-                       batch_size=config.get("batch_size", 64))
+                       batch_size=config.get("batch_size", 64),
+                       extractor=extractor)

@@ -60,32 +60,51 @@ class RandomFeatureClassifier:
 
 
 def get_classifier(config: dict):
+    """Build the IS classifier.  The returned object carries a
+    ``backend`` attribute naming what was ACTUALLY instantiated
+    ("inception" or "random_proxy") — callers reporting results must use
+    it rather than inferring from config, because a configured-but-
+    unusable ``inception_weights`` silently falls back to the proxy."""
     weights = config.get("inception_weights")
-    if weights and os.path.exists(weights):
-        data = np.load(weights)
-        if "top_w" in data:
+    if weights:
+        if os.path.exists(weights) and "top_w" in np.load(weights):
             from .inception import InceptionV3Classifier
-            return InceptionV3Classifier(weights)
-    return RandomFeatureClassifier(config["img_size"])
+            cls = InceptionV3Classifier(weights)
+            cls.backend = "inception"
+            return cls
+        print(f"WARNING: inception_weights={weights!r} is missing or has "
+              f"no classifier top (top_w); falling back to the "
+              f"random-feature PROXY classifier — the resulting IS is "
+              f"not comparable to published Inception Scores", flush=True)
+    cls = RandomFeatureClassifier(config["img_size"])
+    cls.backend = "random_proxy"
+    return cls
 
 
 def inception_score(sample_batch_fn, config, num_images: int = 5000,
-                    batch_size: int = 64, splits: int = 10, seed: int = 0):
+                    batch_size: int = 64, splits: int = 10, seed: int = 0,
+                    classifier=None):
     """IS of generated samples.  ``sample_batch_fn(key, n)`` → float
     images [n, H, W, 3] in [-1, 1] (same contract as fid.fake_stats)."""
-    classifier = get_classifier(config)
+    if classifier is None:
+        classifier = get_classifier(config)
     key = jax.random.PRNGKey(seed)
     probs = []
     for begin in range(0, num_images, batch_size):
         n = min(batch_size, num_images - begin)
         key, sub = jax.random.split(key)
-        imgs = sample_batch_fn(sub, n)
-        probs.append(classifier(np.asarray(jax.device_get(imgs))[:n]))
+        # always sample a full batch and slice: a remainder-sized call
+        # (5000 % 64 = 8) would retrace the jitted sampler + classifier
+        # for a one-off shape — 40-300 s of remote compile per new
+        # program on this backend (same pattern as fid.fake_stats)
+        imgs = sample_batch_fn(sub, batch_size)
+        probs.append(classifier(np.asarray(jax.device_get(imgs)))[:n])
     probs = np.concatenate(probs)[:num_images]
     return inception_score_from_probs(probs, splits)
 
 
-def inception_score_for_trainer(trainer, num_images: int | None = None):
+def inception_score_for_trainer(trainer, num_images: int | None = None,
+                                classifier=None):
     config = trainer.config
     num_images = num_images or config.get("is_num_images",
                                           config.get("fid_num_images", 5000))
@@ -100,4 +119,5 @@ def inception_score_for_trainer(trainer, num_images: int | None = None):
         return trainer.sample_fn(eval_vars, z, labels)
 
     return inception_score(sample_batch, config, num_images=num_images,
-                           batch_size=config.get("batch_size", 64))
+                           batch_size=config.get("batch_size", 64),
+                           classifier=classifier)

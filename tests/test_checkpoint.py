@@ -51,15 +51,47 @@ def test_restore_falls_back_past_corrupt_latest(tmp_path, capsys):
     np.testing.assert_array_equal(np.asarray(restored["w"]),
                                   np.full((4, 4), 1.0))
     assert "falling back" in capsys.readouterr().out
-    # the corrupt step must be dropped, or a resumed run re-reaching
-    # step 2 would have its save() silently skipped by Orbax and every
-    # restart would lose the progress past step 1 again
+    # the corrupt step must be dropped from the manager's view, or a
+    # resumed run re-reaching step 2 would have its save() silently
+    # skipped by Orbax and every restart would lose the progress past
+    # step 1 again — but the bytes are QUARANTINED, not deleted, so a
+    # transiently-misread checkpoint is recoverable by hand
     assert mgr.latest_step() == 1
+    assert any(n.endswith(".corrupt") for n in os.listdir(root)), \
+        os.listdir(root)
     mgr.save(2, _state(5))
     mgr.wait()
     mgr.close()
     mgr = CheckpointManager(root)
     assert int(mgr.restore_latest(_state(0))["step"]) == 5
+    mgr.close()
+
+
+def test_transient_restore_failure_is_retried_not_quarantined(tmp_path,
+                                                              capsys):
+    """A restore exception that clears on retry (network-FS hiccup,
+    momentary OOM) must NOT cost the newest checkpoint."""
+    root = str(tmp_path / "ckpt")
+    mgr = CheckpointManager(root)
+    mgr.save(1, _state(1))
+    mgr.save(2, _state(2))
+    mgr.wait()
+
+    real_restore = mgr.mgr.restore
+    calls = {"n": 0}
+
+    def flaky_restore(step, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("transient I/O hiccup")
+        return real_restore(step, *a, **k)
+
+    mgr.mgr.restore = flaky_restore
+    restored = mgr.restore_latest(_state(0))
+    assert int(restored["step"]) == 2  # newest step survived the hiccup
+    assert "retrying" in capsys.readouterr().out
+    assert mgr.latest_step() == 2
+    assert not any(n.endswith(".corrupt") for n in os.listdir(root))
     mgr.close()
 
 

@@ -77,3 +77,35 @@ def test_classifier_top_matches_keras(tmp_path, has_tf):
     # get_classifier picks the inception top when weights provide one
     picked = get_classifier({"img_size": 64, "inception_weights": path})
     assert isinstance(picked, InceptionV3Classifier)
+
+
+def test_classifier_backend_truth_on_fallback(capsys):
+    """A configured-but-missing inception_weights must fall back LOUDLY
+    and the returned object must say what it actually is (ADVICE r2:
+    evaluate.py reported 'inception' for a silent proxy fallback)."""
+    clf = get_classifier({"img_size": 32,
+                          "inception_weights": "/nonexistent/w.npz"})
+    assert clf.backend == "random_proxy"
+    assert "WARNING" in capsys.readouterr().out
+
+    clf = get_classifier({"img_size": 32})
+    assert clf.backend == "random_proxy"
+
+
+def test_inception_score_avoids_remainder_retrace():
+    """num_images not divisible by batch_size must NOT call the sampler
+    with a remainder-sized batch (each new shape = a full remote
+    recompile on the TPU backend); mirror of fid.fake_stats."""
+    from sagan_tpu.train.iscore import inception_score
+
+    shapes = []
+
+    def sample_batch(key, n):
+        shapes.append(n)
+        import jax
+        return jax.random.uniform(key, (n, 8, 8, 3), minval=-1, maxval=1)
+
+    mean, std = inception_score(sample_batch, {"img_size": 8},
+                                num_images=20, batch_size=16, splits=2)
+    assert shapes == [16, 16]  # never a remainder-sized (4) call
+    assert np.isfinite(mean) and np.isfinite(std)
