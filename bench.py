@@ -215,20 +215,34 @@ IMAGENET128 = {
 }
 
 
+def _t(msg, t0=[None]):
+    """Phase timestamps on stderr (stdout is reserved for the one JSON
+    line) — how the driver-budget fit is diagnosed."""
+    if t0[0] is None:
+        t0[0] = time.perf_counter()
+    print(f"[bench +{time.perf_counter() - t0[0]:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
 def bench_config(config, name, interleave_with=None, reps=3):
     """Measure a config; optionally interleave reps with a second handle
     so chip-throughput drift hits both variants equally.  Returns a dict
     of self-accounting stats (and the baseline's, when interleaved)."""
+    _t(f"{name}: build/compile start")
     handles = build(config)
     k = config.get("steps_per_call", 1)
     flops_per_step = compiled_flops_per_step(*handles)
+    _t(f"{name}: built (cost_analysis done)")
 
     other = build(interleave_with) if interleave_with else None
+    if other is not None:
+        _t(f"{name}: baseline built")
     best = best_other = 0.0
-    for _ in range(reps):
+    for r in range(reps):
         best = max(best, measure(*handles, reps=1))
         if other is not None:
             best_other = max(best_other, measure(*other, reps=1))
+        _t(f"{name}: rep {r + 1}/{reps} measured")
 
     batch = config["global_batch_size"]
     imgs_per_sec = best * batch
@@ -316,11 +330,12 @@ def main():
          dict(IMAGENET128, gf_dim=64, df_dim=64, compute_dtype="bfloat16",
               use_pallas=None, steps_per_call=4)),
     ]
-    # a cold remote compile costs 40-300 s; only start a secondary
-    # config when at least 120 s of budget remain
+    # a cold remote compile costs 40-420 s (measured: gf64's step was
+    # 420 s), and a compile in progress cannot be interrupted — only
+    # start a secondary config when a generous margin remains
     for name, cfg in secondary:
         remaining = budget_s - (time.perf_counter() - t0)
-        if remaining < 120.0:
+        if remaining < 180.0:
             detail["skipped"] = detail.get("skipped", []) + [
                 {"name": name, "reason": f"budget ({remaining:.0f}s left)"}]
             flush_detail()

@@ -128,6 +128,7 @@ class ResGenerator(Module):
         power = _power(c["img_size"])
         attn_at = set(c.get("attn_dim_G", [])) if c.get("use_attention") else set()
         use_pallas = c.get("use_pallas", None)
+        pallas_part = c.get("pallas_partitioned", False)
         attn_ds = c.get("attn_downsample", True)
         ncls = self.num_classes if self.use_cond_bn else 0
 
@@ -147,7 +148,8 @@ class ResGenerator(Module):
             if side in attn_at:
                 attn = self.add(f"attn{side}", SelfAttention(
                     cout, sn_iters=sn_iters, downsample=attn_ds,
-                    dtype=self.dtype, use_pallas=use_pallas))
+                    dtype=self.dtype, use_pallas=use_pallas,
+                    pallas_partitioned=pallas_part))
             self.blocks.append((blk, attn))
             cin = cout
 
@@ -182,6 +184,7 @@ class ResDiscriminator(Module):
         sn_iters = c.get("sn_iters", 1)
         self._sn_iters = sn_iters
         self._use_pallas = c.get("use_pallas", None)
+        self._pallas_part = c.get("pallas_partitioned", False)
         self._attn_ds = c.get("attn_downsample", True)
         power = _power(c["img_size"])
         attn_at = set(c.get("attn_dim_D", [])) if c.get("use_attention") else set()
@@ -216,7 +219,8 @@ class ResDiscriminator(Module):
         if side in attn_at:
             return self.add(f"attn{side}", SelfAttention(
                 ch, sn_iters=self._sn_iters, downsample=self._attn_ds,
-                dtype=self.dtype, use_pallas=self._use_pallas))
+                dtype=self.dtype, use_pallas=self._use_pallas,
+                pallas_partitioned=self._pallas_part))
         return None
 
     def forward(self, cx: Ctx, img, labels=None):

@@ -61,6 +61,7 @@ class Generator(Module):
         power = _power(self.img_size)
         attn_at = set(c.get("attn_dim_G", [])) if c.get("use_attention") else set()
         use_pallas = c.get("use_pallas", None)
+        pallas_part = c.get("pallas_partitioned", False)
         attn_ds = c.get("attn_downsample", True)
 
         in_dim = self.z_dim + (self.num_classes if self.use_label else 0)
@@ -86,7 +87,8 @@ class Generator(Module):
             if side in attn_at:
                 attn = self.add(f"attn{side}", SelfAttention(
                     cout, sn_iters=sn_iters, downsample=attn_ds,
-                    dtype=self.dtype, use_pallas=use_pallas))
+                    dtype=self.dtype, use_pallas=use_pallas,
+                    pallas_partitioned=pallas_part))
             self.blocks.append((convt, bn, attn))
             cin = cout
 
@@ -126,6 +128,7 @@ class Discriminator(Module):
         power = _power(self.img_size)
         attn_at = set(c.get("attn_dim_D", [])) if c.get("use_attention") else set()
         use_pallas = c.get("use_pallas", None)
+        pallas_part = c.get("pallas_partitioned", False)
         attn_ds = c.get("attn_downsample", True)
 
         self.blocks = []
@@ -140,7 +143,8 @@ class Discriminator(Module):
             if side in attn_at:
                 attn = self.add(f"attn{side}", SelfAttention(
                     cout, sn_iters=sn_iters, downsample=attn_ds,
-                    dtype=self.dtype, use_pallas=use_pallas))
+                    dtype=self.dtype, use_pallas=use_pallas,
+                    pallas_partitioned=pallas_part))
             self.blocks.append((conv, attn))
             cin = cout
 

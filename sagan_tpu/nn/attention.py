@@ -30,9 +30,13 @@ from .module import Ctx, Module
 
 class SelfAttention(Module):
     def __init__(self, c, sn=True, sn_iters=1, downsample=True,
-                 dtype=jnp.float32, use_pallas: bool | None = None):
+                 dtype=jnp.float32, use_pallas: bool | None = None,
+                 pallas_partitioned: bool = False):
         """``downsample=False`` disables the 4x K/V pooling (full-token
-        keys/values — the non-downsampled non-local block variant)."""
+        keys/values — the non-downsampled non-local block variant).
+        ``pallas_partitioned`` marks the module as running inside a
+        GSPMD-partitioned (model-parallel) program, routing the fused
+        kernel through its batch-dim custom_partitioning wrappers."""
         super().__init__()
         if c < 8:
             raise ValueError(f"attention needs >=8 channels, got {c}")
@@ -40,6 +44,7 @@ class SelfAttention(Module):
         self.downsample = downsample
         self.dtype = dtype
         self.use_pallas = use_pallas
+        self.pallas_partitioned = pallas_partitioned
         kw = dict(kernel=1, stride=1, sn=sn, sn_iters=sn_iters, dtype=dtype)
         self.theta = Conv(c, c // 8, **kw)
         self.phi = Conv(c, c // 8, **kw)
@@ -61,7 +66,8 @@ class SelfAttention(Module):
         k = k.reshape(b, m, c // 8)
         v = v.reshape(b, m, c // 2)
 
-        o = attention(q, k, v, use_pallas=self.use_pallas)
+        o = attention(q, k, v, use_pallas=self.use_pallas,
+                      partitioned=self.pallas_partitioned)
         o = o.reshape(b, h, w, c // 2)
         o = cx.call(self.out_proj, o)
         return (x + cx.param("sigma") * o).astype(self.dtype)

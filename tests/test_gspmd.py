@@ -44,11 +44,12 @@ CONFIG = {
 }
 
 
-def _build(model_parallel):
+def _build(model_parallel, overrides=None):
+    config = dict(CONFIG, **(overrides or {}))
     mesh = make_mesh(8, model_parallel=model_parallel)
-    gen = get_generator(CONFIG)
-    disc = get_discriminator(CONFIG)
-    (opt_g, _), (opt_d, _) = make_gan_optimizers(CONFIG, steps_per_epoch=10)
+    gen = get_generator(config)
+    disc = get_discriminator(config)
+    (opt_g, _), (opt_d, _) = make_gan_optimizers(config, steps_per_epoch=10)
     key = jax.random.PRNGKey(0)
     vars_g = gen.init(key)
     vars_d = disc.init(jax.random.fold_in(key, 1))
@@ -59,13 +60,13 @@ def _build(model_parallel):
         step=jnp.int32(0), rng=jax.random.fold_in(key, 2))
     shs = param_shardings(mesh, state)
     state = jax.device_put(state, shs)
-    step = build_train_step(gen, disc, opt_g, opt_d, CONFIG, mesh,
+    step = build_train_step(gen, disc, opt_g, opt_d, config, mesh,
                             state_shardings=shs)
     return mesh, state, step
 
 
-def _run(model_parallel, steps=2):
-    mesh, state, step = _build(model_parallel)
+def _run(model_parallel, steps=2, overrides=None):
+    mesh, state, step = _build(model_parallel, overrides)
     rng = np.random.default_rng(0)
     losses = []
     for _ in range(steps):
@@ -250,3 +251,77 @@ def test_gspmd_grad_accum_with_ema():
     e = state.ema_g["stem"]["w"]
     assert not np.array_equal(np.asarray(e), np.asarray(w))
     assert "model" in str(e.sharding.spec)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels under GSPMD (round 3): batch-dim custom_partitioning
+# ---------------------------------------------------------------------------
+
+
+def _sharded_qkv(mesh, b=8, n=64, m=16, d=4, c=8):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(0)
+    sh = NamedSharding(mesh, P("data"))
+    q = jax.device_put(rng.standard_normal((b, n, d)).astype(np.float32), sh)
+    k = jax.device_put(rng.standard_normal((b, m, d)).astype(np.float32), sh)
+    v = jax.device_put(rng.standard_normal((b, m, c)).astype(np.float32), sh)
+    return q, k, v
+
+
+def test_attention_partitioned_engages_custom_call_no_gather():
+    """The batch-partitioned fused attention lowers to a
+    CustomSPMDPartitioning call and partitions WITHOUT gathering the
+    batch (the round-2 behavior was a silent downgrade to einsum)."""
+    from sagan_tpu.ops.attention import attention_reference
+    from sagan_tpu.ops.pallas_attention import attention_fused_partitioned
+
+    mesh = make_mesh(8, model_parallel=2)
+    q, k, v = _sharded_qkv(mesh)
+
+    fn = jax.jit(lambda q, k, v: attention_fused_partitioned(
+        q, k, v, interpret=True))
+    txt = fn.lower(q, k, v).as_text()
+    assert "CustomSPMDPartitioning" in txt
+    compiled = fn.lower(q, k, v).compile().as_text()
+    assert "all-gather" not in compiled
+    out = fn(q, k, v)
+    assert "data" in str(out.sharding.spec)
+    ref = attention_reference(np.asarray(q), np.asarray(k), np.asarray(v))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_attention_partitioned_grads_match_reference():
+    from sagan_tpu.ops.attention import attention_reference
+    from sagan_tpu.ops.pallas_attention import attention_fused_partitioned
+
+    mesh = make_mesh(8, model_parallel=2)
+    q, k, v = _sharded_qkv(mesh)
+
+    def loss_p(q, k, v):
+        return jnp.sum(attention_fused_partitioned(
+            q, k, v, interpret=True) ** 2)
+
+    def loss_r(q, k, v):
+        return jnp.sum(attention_reference(q, k, v) ** 2)
+
+    gp = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2)))(q, k, v)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(np.asarray(q), np.asarray(k),
+                                             np.asarray(v))
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_gspmd_train_step_pallas_parity():
+    """The full mp=2 train step with the partitioned Pallas kernels
+    (use_pallas=True, interpret on CPU) matches the XLA-attention step
+    to float tolerance — same RNG, same data (VERDICT r2 #4 'done'
+    criterion)."""
+    _, l_xla = _run(2)
+    _, l_pl = _run(2, overrides={"use_pallas": True,
+                                 "pallas_partitioned": True})
+    assert np.allclose(l_pl[0], l_xla[0], atol=2e-3), (l_pl, l_xla)
+    for (gp, dp), (gx, dx) in zip(l_pl, l_xla):
+        assert np.allclose([gp, dp], [gx, dx], atol=2e-2), (l_pl, l_xla)

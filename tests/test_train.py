@@ -464,3 +464,38 @@ def test_config_path_cli_end_to_end(data16, tmp_path):
     assert trainer.config["epoch"] == 2
     assert trainer.global_step() == 2 * trainer.steps_per_epoch
     assert np.isfinite(trainer.sample_images()).all()
+
+
+def test_d_health_metrics_present_and_sane(data16):
+    """Round-3 diagnostics (VERDICT r2: gf64 artifact trained 22/30
+    epochs at D_loss=0 unexplained): every step reports mean D scores
+    and hinge-margin occupancy so a saturated D is visible in logs."""
+    cfg = tiny_config(data16, num_devices=8, update_ratio=2)
+    tr = Trainer(cfg)
+    from sagan_tpu.parallel.mesh import shard_batch
+    images, labels = next(iter(tr.ds_train.epoch(0)))
+    images, labels = shard_batch(tr.mesh, images, labels)
+    _state2, metrics = tr.train_step(tr.state, images, labels)
+    m = jax.device_get(metrics)
+    for k in ("D_real_mean", "D_fake_mean",
+              "D_real_in_margin", "D_fake_in_margin"):
+        assert k in m and np.isfinite(m[k]), (k, m.get(k))
+    # margin fractions are probabilities
+    assert 0.0 <= m["D_real_in_margin"] <= 1.0
+    assert 0.0 <= m["D_fake_in_margin"] <= 1.0
+    # a freshly-initialized D scores everything near 0 — i.e. well
+    # inside the hinge margin on both sides
+    assert m["D_real_in_margin"] > 0.5
+    assert m["D_fake_in_margin"] > 0.5
+
+
+def test_d_health_metrics_with_grad_accum(data16):
+    cfg = tiny_config(data16, num_devices=8, grad_accum_steps=2)
+    tr = Trainer(cfg)
+    from sagan_tpu.parallel.mesh import shard_batch
+    images, labels = next(iter(tr.ds_train.epoch(0)))
+    images, labels = shard_batch(tr.mesh, images, labels)
+    _state2, metrics = tr.train_step(tr.state, images, labels)
+    m = jax.device_get(metrics)
+    assert np.isfinite(m["D_real_mean"])
+    assert 0.0 <= m["D_fake_in_margin"] <= 1.0

@@ -153,6 +153,49 @@ def k_e16(q_ref, k_ref, v_ref, o_ref):
     o_ref[...] = (o / l).astype(o_ref.dtype)
 
 
+def _call_folded(kernel, bn=512, g=1, cin=16):
+    """pallas_call wiring for the projection-folded variant: inputs are
+    the RAW tokens x [B,N,Cin], xb [B,M,Cin] plus the folded [Cin,Cin]
+    product W = Wθ Wφᵀ (grid-invariant), v as before."""
+    return pl.pallas_call(
+        kernel, grid=(B // g, N // bn),
+        in_specs=[
+            pl.BlockSpec((g, bn, cin), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, M, cin), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cin, cin), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, M, C), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, bn, C), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), jnp.bfloat16))
+
+
+def k_folded(x_ref, xb_ref, w_ref, v_ref, o_ref):
+    """VERDICT r2 #2: logits as X·(WθWφᵀ)·X̄ᵀ — identical pre-softmax
+    math to q·kᵀ with q=XWθ, k=X̄Wφ, but the [N,M] contraction runs at
+    dim Cin=16 instead of d=2 and Q/K are never materialized."""
+    x, xb, v = x_ref[...], xb_ref[...], v_ref[...]
+    w = w_ref[...]
+    s = x.shape
+    xw = lax.dot_general(x.reshape(s[0] * s[1], s[2]), w,
+                         (((1,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32)
+    xw = xw.reshape(s)
+    logits = lax.dot_general(xw.astype(xb.dtype), xb,
+                             (((2,), (2,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    mx = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - mx)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    o = lax.dot_general(e.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)
+    o_ref[...] = (o / l).astype(o_ref.dtype)
+
+
 def k_ev_vpu(q_ref, k_ref, v_ref, o_ref):
     q, k, v = q_ref[...], k_ref[...], v_ref[...]
     logits = lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
@@ -199,6 +242,41 @@ def main():
         steps = (B // g) * (N // bn)
         timeit(f"blocks bn={bn} g={g} ({steps})", _call(k_current, bn, g),
                q, k, v)
+
+    # ---- projection-folded logits (VERDICT r2 #2) ----------------------
+    # X·(WθWφᵀ)·X̄ᵀ vs (XWθ)(X̄Wφ)ᵀ: same pre-softmax math, contraction
+    # at Cin=16 instead of d=2, Q/K never materialized.  Timed against
+    # the current kernel fed the projected q/k of the SAME tokens, and
+    # cross-checked numerically.
+    cin = 16
+    x = jnp.asarray(rng.standard_normal((B, N, cin)), jnp.bfloat16)
+    xb = jnp.asarray(rng.standard_normal((B, M, cin)), jnp.bfloat16)
+    wth = jnp.asarray(rng.standard_normal((cin, D)) / np.sqrt(cin),
+                      jnp.bfloat16)
+    wph = jnp.asarray(rng.standard_normal((cin, D)) / np.sqrt(cin),
+                      jnp.bfloat16)
+    wfold = jnp.asarray(
+        np.asarray(wth, np.float32) @ np.asarray(wph, np.float32).T,
+        jnp.bfloat16)
+
+    @jax.jit
+    def project(x, xb, wth, wph):
+        qp = lax.dot_general(x, wth, (((2,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+        kp = lax.dot_general(xb, wph, (((2,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+        return qp.astype(jnp.bfloat16), kp.astype(jnp.bfloat16)
+
+    qp, kp = project(x, xb, wth, wph)
+    out_proj = timeit("current(projected q/k)", _call(k_current), qp, kp, v)
+    out_fold = timeit("folded X(WW')X'", _call_folded(k_folded, cin=cin),
+                      x, xb, wfold, v)
+    if out_fold is not None and out_proj is not None:
+        a = np.asarray(out_fold, np.float32)
+        b = np.asarray(out_proj, np.float32)
+        print(f"{'':24s}  folded vs projected max abs diff: "
+              f"{np.max(np.abs(a - b)):.2e}  corr: "
+              f"{np.corrcoef(a.ravel(), b.ravel())[0, 1]:.6f}", flush=True)
 
 
 if __name__ == "__main__":
