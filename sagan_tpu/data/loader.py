@@ -208,6 +208,31 @@ class ImageDataset:
         self._cache = (np.stack(imgs),
                        np.asarray(labels, np.int32))
 
+    def materialized(self):
+        """The full (sharded, truncated) local dataset as two arrays —
+        the trainer's device-resident cache uploads these to HBM once
+        (see Trainer._build_device_cache)."""
+        if self._cache is None:
+            self._materialize()
+        return self._cache
+
+    def epoch_index_batches(self, epoch_index: int) -> Iterator[np.ndarray]:
+        """Per-batch record indices reproducing EXACTLY the cached
+        ``epoch()`` schedule (same (seed, epoch, pass) permutation, same
+        lockstep wraparound).  The device-cache feed sends these tiny
+        int32 arrays over the host→device link instead of image bytes —
+        the feed-path fix for remote-tunnel transfer-bound training."""
+        n = len(self.materialized()[1])
+
+        def gen(attempt: int):
+            rng = np.random.default_rng((self.seed, epoch_index, attempt))
+            order = rng.permutation(n)
+            for i in range(n // self.batch_size):
+                yield order[i * self.batch_size:
+                            (i + 1) * self.batch_size].astype(np.int32)
+
+        return _lockstep(gen, self.steps_per_epoch, self.process_index)
+
     # -- batches -----------------------------------------------------------
     def epoch(self, epoch_index: int = 0) -> Iterator[tuple]:
         """One pass over the (sharded) data, dropping the remainder

@@ -499,3 +499,38 @@ def test_d_health_metrics_with_grad_accum(data16):
     m = jax.device_get(metrics)
     assert np.isfinite(m["D_real_mean"])
     assert 0.0 <= m["D_fake_in_margin"] <= 1.0
+
+
+def test_device_cache_feed_matches_host_feed(data16, tmp_path):
+    """The device-resident dataset cache (round 3) sends index arrays
+    instead of image bytes; its batch schedule reproduces the cached
+    host path exactly, so end-of-training state must be IDENTICAL."""
+    import copy
+
+    def run(device_cache):
+        cfg = tiny_config(data16, num_devices=8, epoch=2,
+                          device_cache=device_cache)
+        tr = Trainer(cfg)
+        engaged = tr._device_data is not None
+        tr.train()
+        params = jax.device_get(tr.state.vars_g["params"])
+        return engaged, params
+
+    on_engaged, on_params = run(True)
+    off_engaged, off_params = run(False)
+    assert on_engaged and not off_engaged
+    flat_on = jax.tree.leaves(on_params)
+    flat_off = jax.tree.leaves(off_params)
+    for a, b in zip(flat_on, flat_off):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_device_cache_resume_mid_epoch(data16, tmp_path):
+    """Mid-epoch skip works on the index feed (preemption resume)."""
+    cfg = tiny_config(data16, num_devices=8, epoch=1, device_cache=True)
+    tr = Trainer(cfg)
+    batches = list(tr._device_batches(0, skip_calls=2))
+    all_batches = list(tr._device_batches(0, skip_calls=0))
+    assert len(batches) == len(all_batches) - 2
+    np.testing.assert_array_equal(np.asarray(batches[0][0]),
+                                  np.asarray(all_batches[2][0]))

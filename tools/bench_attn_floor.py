@@ -28,6 +28,23 @@ row-max/row-sum (skipping both recompute reduce passes) runs at 0.90x —
 slower, the extra [BN,1] input streams outweigh the saved reductions —
 so the flash-style recompute backward is likewise at its floor.
 
+Round 3 added the one *algebraic* lever the round-2 study had not tried
+(VERDICT r2 #2): computing the logits as X·(WθWφᵀ)·X̄ᵀ — identical
+pre-softmax math to (XWθ)(X̄Wφ)ᵀ, but the [N,M] contraction runs at
+dim Cin=16 instead of d=2 and Q/K are never materialized.  Measured
+(same process, same tokens, 2026-08-17):
+
+  current fed projected q/k : 2.017 ms
+  folded X(WθWφᵀ)X̄ᵀ        : 2.072 ms   (corr 0.99995 vs current)
+
+NEGATIVE RESULT, closing the question: the folded form is within noise
+of the current kernel (and the folded kernel additionally absorbs the
+theta/phi projection matmuls, which the current step pays separately —
+still no win).  The contraction dim does not matter at these shapes;
+the cost is streaming the 2.7e8-position [N,M] score tile through the
+VPU/MXU, which both forms pay identically.  The "machine floor" claim
+now covers the algebraic decomposition too.
+
 Conclusion: the kernel is at the machine floor for this shape.  The
 cost is NOT the exp (removing it entirely changes nothing), NOT the
 lane-padded MXU dots (computing scores on the VPU instead is neutral),
