@@ -29,13 +29,16 @@ Shapes must tile: N divisible by the query block (powers of two — always
 true for H·W feature maps), M and the channel dims are padded by Mosaic
 as needed.  The query block size is chosen so the kernel's VMEM
 footprint (dominated by the [G·BN, M] fp32 tiles — three of them live
-simultaneously in the backward) stays under ``VMEM_BUDGET``; this covers
-every shape the model families can request, including non-downsampled
-128px maps (N = M = 16384).
+simultaneously in the backward, **counted at lane-padded widths**: a
+[M, 2] ref occupies [M, 128] of VMEM) stays under ``VMEM_BUDGET``;
+this covers every shape the model families request up to M = 4096 key
+tokens at SAGAN's narrow head dims.
 
-Beyond that (non-downsampled 256px maps, N = M = 65536), the dispatch
-drops to the **flash path**: key-axis blocking with an online
-running-max/denominator softmax.  The forward emits per-row logsumexp;
+Past that (M = 16384 at d = 2 — e.g. the 256px G map with 4×
+downsampled K/V, or any non-downsampled ≥128px map), whole-K/V
+residency alone exceeds VMEM and the dispatch drops to the **flash
+path**: key-axis blocking with an online running-max/denominator
+softmax.  The forward emits per-row logsumexp;
 the backward runs as two kernels — dQ with the key axis innermost, and
 dK/dV with the query axis innermost — using the flash identity
 δᵢ = Σⱼ pᵢⱼ dpᵢⱼ = dOᵢ·Oᵢ so no kernel ever holds a full probability
@@ -56,13 +59,24 @@ from jax.experimental.pallas import tpu as pltpu
 VMEM_BUDGET = 12 * 1024 * 1024  # of ~16 MB/core, leaving Mosaic headroom
 
 
+def _lanes(dim: int) -> int:
+    """VMEM-resident width of a minor-most dim: Mosaic pads the lane
+    axis to multiples of 128, so a [M, 2] ref costs [M, 128] of VMEM.
+    Ignoring this under-counted K/V/dK/dV by 64x at SAGAN's d=2 and
+    OOMed scoped VMEM at M=16384 (the 256px G map, 40 MB actual vs
+    5 MB estimated)."""
+    return -(-dim // 128) * 128
+
+
 def _bwd_vmem_bytes(block_n: int, m: int, d: int, c: int) -> int:
     """Worst-case resident bytes of the backward kernel per batch
     element: three fp32 [block_n, M] tiles (E, dP, and one temporary)
-    + K/V inputs and fp32 dK/dV accumulators + q/g/dq blocks."""
-    tiles = 3 * block_n * m * 4
-    kv = 2 * m * (d + c) * 4
-    qg = 3 * block_n * (d + c) * 4
+    + K/V inputs and fp32 dK/dV accumulators + q/g/dq blocks, all at
+    lane-padded widths."""
+    dc = _lanes(d) + _lanes(c)
+    tiles = 3 * block_n * _lanes(m) * 4
+    kv = 2 * m * dc * 4
+    qg = 3 * block_n * dc * 4
     return tiles + kv + qg
 
 
@@ -245,10 +259,11 @@ def _bwd_call(q, k, v, g, block_n, block_b, interpret=False):
 def _flash_vmem_bytes(bn: int, bm: int, d: int, c: int) -> int:
     """Per-batch-element resident bytes of the flash kernels: ~3 fp32
     [BN, BM] tiles + q/g/o/dq row blocks + k/v/dk/dv key blocks +
-    acc/m/l scratch."""
-    tiles = 3 * bn * bm * 4
-    rows = 5 * bn * (d + c) * 4
-    keys = 4 * bm * (d + c) * 4
+    acc/m/l scratch, all at lane-padded widths (see _lanes)."""
+    dc = _lanes(d) + _lanes(c)
+    tiles = 3 * bn * _lanes(bm) * 4
+    rows = 5 * bn * dc * 4
+    keys = 4 * bm * dc * 4
     return tiles + rows + keys
 
 

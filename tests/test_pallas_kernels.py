@@ -85,24 +85,37 @@ def test_fused_bfloat16_inputs():
 
 
 def test_attention_vmem_guard_covers_model_shapes():
-    """The query-block picker must fit every shape the model families can
-    request (including non-downsampled 128px maps, N=M=16384) inside the
-    VMEM budget, and refuse (→ oracle fallback) beyond it."""
-    from sagan_tpu.ops.pallas_attention import (VMEM_BUDGET, _bwd_vmem_bytes,
-                                                _pick_block)
+    """The query-block picker must fit every single-pass shape inside
+    the VMEM budget AT LANE-PADDED WIDTHS and hand anything larger to
+    the flash path — never the einsum fallback.  The estimate must
+    count the Mosaic lane padding of the narrow channel dims: ignoring
+    it let M=16384 (the 256px G map, d=2) through the single-pass gate
+    and OOMed scoped VMEM on hardware (40 MB actual vs 5 MB unpadded
+    estimate)."""
+    from sagan_tpu.ops.pallas_attention import (VMEM_BUDGET,
+                                                _bwd_vmem_bytes,
+                                                _flash_vmem_bytes,
+                                                _pick_block,
+                                                _pick_flash_blocks)
 
+    # single-pass shapes (every attention site of the shipped configs)
     for n, m, d, c in [(1024, 256, 4, 16), (4096, 1024, 2, 8),
-                       (4096, 4096, 2, 8), (16384, 4096, 8, 32),
-                       (16384, 16384, 8, 32)]:
+                       (4096, 4096, 2, 8), (4096, 1024, 16, 64),
+                       (16384, 4096, 8, 32), (64, 16, 32, 128)]:
         bn = _pick_block(n, m, d, c)
         assert bn > 0, (n, m, d, c)
         assert _bwd_vmem_bytes(bn, m, d, c) <= VMEM_BUDGET
-    # non-downsampled 256px maps exceed any single-pass block's budget →
-    # the flash (key-axis-blocked) path takes over
-    from sagan_tpu.ops.pallas_attention import _pick_flash_blocks
-    assert _pick_block(65536, 65536, 16, 64) == 0
-    bn, bm = _pick_flash_blocks(65536, 65536, 16, 64)
-    assert bn > 0 and bm > 0
+    # at M = 16384, padded K/V + dK/dV residency alone (4 x M x 128
+    # lanes x 4 B = 33.6 MB) exceeds the budget for ANY query block:
+    # the flash path must take over.  Covers the 256px G map
+    # (N=65536, M=16384, d=2) that OOMed pre-fix, the non-downsampled
+    # 128px map, and non-downsampled 256px maps.
+    for n, m, d, c in [(65536, 16384, 2, 8), (16384, 16384, 8, 32),
+                       (16384, 16384, 2, 8), (65536, 65536, 16, 64)]:
+        assert _pick_block(n, m, d, c) == 0, (n, m, d, c)
+        bn, bm = _pick_flash_blocks(n, m, d, c)
+        assert bn > 0 and bm > 0, (n, m, d, c)
+        assert _flash_vmem_bytes(bn, bm, d, c) <= VMEM_BUDGET
 
 
 @pytest.mark.parametrize("n,m,bn,bm", [(512, 256, 128, 128),
