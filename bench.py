@@ -36,6 +36,17 @@ configs (imagenet128 gf16/gf64) run afterwards under a wall-clock
 budget (``BENCH_BUDGET_S``, default 420 s), writing their results
 progressively to ``BENCH_DETAIL.json`` instead of stdout.  A cold
 compile of a later config can therefore never starve the headline.
+
+Round-3 hardening: even the naive baseline's own compile (100-430 s
+cold — any edit to a Pallas kernel file shifts source-line metadata in
+the Mosaic payloads and invalidates cached compiles of every program
+containing them) no longer gates the headline.  ``vs_baseline`` on the
+stdout line comes from the committed same-chip-kind measurement in
+``BASELINE_CACHE.json`` (provenance labeled in ``baseline_source``);
+the honest same-process interleaved ratio is re-measured right after
+the headline whenever budget remains, recorded in BENCH_DETAIL.json,
+and refreshes the cache.  Worst-case time-to-headline is therefore ONE
+cold compile (the optimized step) + ~30 s of measurement.
 """
 
 from __future__ import annotations
@@ -224,27 +235,46 @@ def _t(msg, t0=[None]):
           file=sys.stderr, flush=True)
 
 
-def bench_config(config, name, interleave_with=None, reps=3):
-    """Measure a config; optionally interleave reps with a second handle
-    so chip-throughput drift hits both variants equally.  Returns a dict
-    of self-accounting stats (and the baseline's, when interleaved)."""
+def build_and_account(config, name):
     _t(f"{name}: build/compile start")
     handles = build(config)
-    k = config.get("steps_per_call", 1)
     flops_per_step = compiled_flops_per_step(*handles)
     _t(f"{name}: built (cost_analysis done)")
+    return handles, flops_per_step
 
-    other = build(interleave_with) if interleave_with else None
-    if other is not None:
-        _t(f"{name}: baseline built")
+
+def measure_interleaved(handles, other=None, reps=3, name=""):
+    """Best-of-``reps``; reps of ``other`` interleave with ``handles``'s
+    so chip-throughput drift hits both variants equally."""
     best = best_other = 0.0
     for r in range(reps):
         best = max(best, measure(*handles, reps=1))
         if other is not None:
             best_other = max(best_other, measure(*other, reps=1))
         _t(f"{name}: rep {r + 1}/{reps} measured")
+    return best, best_other
 
+
+def bench_config(config, name, interleave_with=None, reps=3):
+    """Measure a config; optionally interleave reps with a second handle.
+    Returns a dict of self-accounting stats (and the baseline's, when
+    interleaved)."""
+    handles, flops_per_step = build_and_account(config, name)
+    other = build(interleave_with) if interleave_with else None
+    if other is not None:
+        _t(f"{name}: baseline built")
+    best, best_other = measure_interleaved(handles, other, reps, name)
+    entry = make_entry(config, name, best, flops_per_step)
+    if other is not None:
+        batch = config["global_batch_size"]
+        entry["baseline_imgs_per_sec"] = round(best_other * batch, 1)
+        entry["vs_baseline"] = round(best / best_other, 3)
+    return entry
+
+
+def make_entry(config, name, best, flops_per_step):
     batch = config["global_batch_size"]
+    k = config.get("steps_per_call", 1)
     imgs_per_sec = best * batch
     entry = {
         "name": name,
@@ -268,10 +298,39 @@ def bench_config(config, name, interleave_with=None, reps=3):
             if mfu > 1.0:
                 entry["warning"] = ("MFU > 1 is unphysical: the "
                                     "measurement or FLOP count is wrong")
-    if other is not None:
-        entry["baseline_imgs_per_sec"] = round(best_other * batch, 1)
-        entry["vs_baseline"] = round(best / best_other, 3)
     return entry
+
+
+BASELINE_CACHE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BASELINE_CACHE.json")
+
+
+def load_cached_baseline(device_kind):
+    """Committed same-chip-kind measurement of the naive baseline, or
+    None.  Lets the headline print right after the optimized
+    measurement instead of behind a 100-430 s cold naive compile; the
+    honest same-process interleaved ratio is re-measured after the
+    headline whenever budget remains (and refreshes this cache)."""
+    try:
+        with open(BASELINE_CACHE_PATH) as f:
+            entry = json.load(f).get("church64_naive")
+    except (OSError, ValueError):
+        return None
+    if entry and entry.get("device_kind") == device_kind:
+        return entry
+    return None
+
+
+def store_cached_baseline(device_kind, imgs_per_sec):
+    with open(BASELINE_CACHE_PATH, "w") as f:
+        json.dump({"church64_naive": {
+            "device_kind": device_kind,
+            "imgs_per_sec": round(imgs_per_sec, 1),
+            "measured_unix": int(time.time()),
+            "source": ("same-process interleaved measurement vs the "
+                       "optimized step (bench.py)"),
+        }}, f, indent=1)
+        f.write("\n")
 
 
 def main():
@@ -284,7 +343,41 @@ def main():
                      steps_per_call=8)
     naive = dict(CHURCH64, compute_dtype="float32", use_pallas=False,
                  fuse_d_batches=False)
-    church = bench_config(optimized, "church64", interleave_with=naive)
+
+    # Headline path: build + measure ONLY the optimized config (one
+    # compile), take vs_baseline from the committed same-chip-kind
+    # cache, and print.  The naive baseline's own compile (100-430 s
+    # cold) runs AFTER the headline, re-measuring the honest
+    # same-process interleaved ratio and refreshing the cache.  Only
+    # when no cache matches does the naive measurement gate the
+    # headline (the pre-round-3 behavior).
+    handles, flops_per_step = build_and_account(optimized, "church64")
+    best, _ = measure_interleaved(handles, None, 3, "church64")
+    church = make_entry(optimized, "church64", best, flops_per_step)
+    cached = load_cached_baseline(dev.device_kind)
+    naive_handles = None
+    if cached is None:
+        _t("church64: no cached baseline for this chip kind — measuring "
+           "the naive config before the headline")
+        naive_handles = build(naive)
+        _t("church64: baseline built")
+        best2, best_naive = measure_interleaved(handles, naive_handles, 3,
+                                                "church64+naive")
+        best = max(best, best2)
+        church = make_entry(optimized, "church64", best, flops_per_step)
+        church["baseline_imgs_per_sec"] = round(
+            best_naive * naive["global_batch_size"], 1)
+        church["vs_baseline"] = round(best / best_naive, 3)
+        church["baseline_source"] = "same-process interleaved measurement"
+        store_cached_baseline(dev.device_kind, church["baseline_imgs_per_sec"])
+    else:
+        church["baseline_imgs_per_sec"] = cached["imgs_per_sec"]
+        church["vs_baseline"] = round(
+            church["imgs_per_sec_per_chip"] / cached["imgs_per_sec"], 3)
+        church["baseline_source"] = (
+            "BASELINE_CACHE.json: same-chip-kind interleaved measurement "
+            f"(unix {cached.get('measured_unix')}); re-measured "
+            "post-headline when budget allows (see BENCH_DETAIL.json)")
 
     # Headline out FIRST (and flushed): everything after this point is
     # bonus detail that must never cost the driver its one JSON line.
@@ -320,6 +413,32 @@ def main():
             f.write("\n")
 
     flush_detail()
+
+    # honest same-process interleaved baseline ratio when the headline
+    # used the cache, budget permitting; refreshes BASELINE_CACHE.json
+    if cached is not None:
+        remaining = budget_s - (time.perf_counter() - t0)
+        if remaining >= 180.0:
+            try:
+                naive_handles = build(naive)
+                _t("church64: baseline built (post-headline)")
+                best2, best_naive = measure_interleaved(
+                    handles, naive_handles, 3, "church64+naive")
+                base_ips = best_naive * naive["global_batch_size"]
+                church["baseline_remeasured"] = {
+                    "baseline_imgs_per_sec": round(base_ips, 1),
+                    "vs_baseline_interleaved": round(
+                        max(best, best2) / best_naive, 3),
+                }
+                store_cached_baseline(dev.device_kind, base_ips)
+            except Exception as e:  # never break rc=0 after the headline
+                church["baseline_remeasured"] = {"error": repr(e)}
+        else:
+            church["baseline_remeasured"] = {
+                "skipped": f"budget ({remaining:.0f}s left)"}
+        flush_detail()
+    handles = naive_handles = None  # release HBM before secondary builds
+
     secondary = [
         ("imagenet128_cond",
          dict(IMAGENET128, compute_dtype="bfloat16", use_pallas=None,
