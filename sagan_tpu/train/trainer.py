@@ -59,8 +59,13 @@ class TrainState(NamedTuple):
 
 
 def build_train_step(gen, disc, opt_g, opt_d, config, mesh,
-                     state_shardings=None):
+                     state_shardings=None, indexed=False):
     """Returns jitted (state, images_u8, labels) -> (state, metrics).
+
+    With ``indexed=True`` (device-resident dataset cache) the signature
+    is (state, data_imgs_u8, data_labels, idx) -> (state, metrics): the
+    batch gather from the HBM-resident dataset happens inside the step's
+    own XLA program (see the ``indexed`` branch below).
 
     ``config['steps_per_call'] = K > 1`` fuses K consecutive training
     steps into one XLA program via ``lax.scan`` (batches arrive stacked
@@ -325,6 +330,55 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh,
         return new_state, metrics
 
     steps_per_call = config.get("steps_per_call", 1)
+    if indexed:
+        # Device-cache mode: the step gathers its batch from the
+        # HBM-resident dataset INSIDE its own XLA program —
+        # (state, data_imgs, data_labels, idx) — instead of a separate
+        # gather jit feeding (images, labels).  Removes one program
+        # boundary per call from the hot loop (each costs ms-scale gaps
+        # on the tunneled backend) and lets XLA fuse the gather with the
+        # uint8→[-1,1] normalize.  ``jnp.take(..., axis=0)`` with the
+        # same indices is bit-identical to the standalone ``d[i]``
+        # gather, so the host-feed parity contract is unchanged.
+        if steps_per_call > 1:
+            def fn(state, data_imgs, data_labels, idx_k):  # idx [K, B]
+                def body(st, idx):
+                    return step_fn(st,
+                                   jnp.take(data_imgs, idx, axis=0),
+                                   jnp.take(data_labels, idx, axis=0))
+
+                state, metrics_k = lax.scan(body, state, idx_k)
+                metrics = jax.tree.map(lambda m: jnp.mean(m, axis=0),
+                                       metrics_k)
+                return state, metrics
+
+            idx_spec = P(None, DATA_AXIS)
+        else:
+            def fn(state, data_imgs, data_labels, idx):
+                return step_fn(state,
+                               jnp.take(data_imgs, idx, axis=0),
+                               jnp.take(data_labels, idx, axis=0))
+
+            idx_spec = P(DATA_AXIS)
+
+        if gspmd:
+            from jax.sharding import NamedSharding
+            kwargs = {}
+            if state_shardings is not None:
+                rep = NamedSharding(mesh, P())
+                kwargs = dict(
+                    in_shardings=(state_shardings, rep, rep,
+                                  NamedSharding(mesh, idx_spec)),
+                    out_shardings=(state_shardings, rep))
+            return jax.jit(fn, donate_argnums=(0,), **kwargs)
+        sharded = jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(), P(), P(), idx_spec),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded, donate_argnums=(0,))
+
     if steps_per_call > 1:
         def multi_fn(state, images_k, labels_k):  # [K, B_local, ...]
             def body(st, xs):
@@ -481,7 +535,7 @@ class Trainer:
 
         self._profile_dir = config.get("profile_dir")
         self._device_data = None
-        self._gather_fn = None
+        self.train_step_indexed = None
         self._maybe_build_device_cache()
 
     # -- device-resident dataset cache --------------------------------------
@@ -543,16 +597,16 @@ class Trainer:
         rep = NamedSharding(self.mesh, P())
         self._device_data = (jax.device_put(imgs, rep),
                              jax.device_put(labels, rep))
-        if self.steps_per_call > 1:
-            from ..parallel.mesh import stacked_batch_sharding
-            batch_sh = stacked_batch_sharding(self.mesh)
-            self._idx_sharding = NamedSharding(self.mesh, P(None, DATA_AXIS))
-        else:
-            batch_sh = NamedSharding(self.mesh, P(DATA_AXIS))
-            self._idx_sharding = batch_sh
-        self._gather_fn = jax.jit(
-            lambda d, l, i: (d[i], l[i]),
-            out_shardings=(batch_sh, batch_sh))
+        self._idx_sharding = NamedSharding(
+            self.mesh, P(None, DATA_AXIS) if self.steps_per_call > 1
+            else P(DATA_AXIS))
+        # the batch gather runs INSIDE the train step's XLA program
+        # (build_train_step indexed=True) — a separate gather jit would
+        # add one program boundary per call to the hot loop
+        self.train_step_indexed = build_train_step(
+            self.generator, self.discriminator, self.opt_g, self.opt_d,
+            self.config, self.mesh, state_shardings=self.state_shardings,
+            indexed=True)
         print(f"device cache: {imgs.nbytes >> 20} MB uploaded to HBM "
               f"({len(labels)} records); feeding index batches",
               flush=True)
@@ -560,9 +614,10 @@ class Trainer:
     def _device_batches_from_cache(self, epoch: int, skip_calls: int = 0):
         """Index-feed analog of _device_batches: same one-transfer-ahead
         pattern, but the per-call host→device traffic is an int32 index
-        array instead of the image bytes."""
+        array instead of the image bytes.  Yields device index arrays;
+        the train loop passes them (with the HBM-resident data) to
+        ``train_step_indexed``, which gathers in-program."""
         K = self.steps_per_call
-        imgs_dev, labels_dev = self._device_data
 
         def source():
             if K <= 1:
@@ -581,8 +636,7 @@ class Trainer:
                 skip_calls -= 1
                 continue
             ready = pending
-            idx_dev = jax.device_put(idx, self._idx_sharding)
-            pending = self._gather_fn(imgs_dev, labels_dev, idx_dev)
+            pending = jax.device_put(idx, self._idx_sharding)
             if ready is not None:
                 yield ready
         if pending is not None:
@@ -771,12 +825,18 @@ class Trainer:
             timer = StepTimer()
             timer_last = 0  # call index of the newest timed fetch
             skip = resume_skip if epoch == start_epoch else 0
-            for images, labels in self._device_batches(epoch, skip):
+            cached = self._device_data is not None
+            for batch in self._device_batches(epoch, skip):
                 if tracer and epoch == start_epoch:
                     # trace steps [10, 20) of the first epoch (post-warmup)
                     tracer.step(count)
-                self.state, metrics = self.train_step(self.state, images,
-                                                      labels)
+                if cached:   # batch is a device index array
+                    self.state, metrics = self.train_step_indexed(
+                        self.state, *self._device_data, batch)
+                else:
+                    images, labels = batch
+                    self.state, metrics = self.train_step(self.state, images,
+                                                          labels)
                 count += 1
                 if self._preempted:
                     if tracer:

@@ -525,12 +525,51 @@ def test_device_cache_feed_matches_host_feed(data16, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_device_cache_gspmd_matches_host_feed(data16, tmp_path):
+    """The indexed (in-program gather) train step under the 2-D GSPMD
+    mesh must reproduce the host feed exactly, same contract as the DP
+    path."""
+    def run(device_cache):
+        cfg = tiny_config(data16, num_devices=8, model_parallel=2,
+                          epoch=2, device_cache=device_cache)
+        tr = Trainer(cfg)
+        engaged = tr._device_data is not None
+        tr.train()
+        return engaged, jax.device_get(tr.state.vars_g["params"])
+
+    on_engaged, on_params = run(True)
+    off_engaged, off_params = run(False)
+    assert on_engaged and not off_engaged
+    for a, b in zip(jax.tree.leaves(on_params), jax.tree.leaves(off_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_device_cache_steps_per_call_matches_host_feed(data16, tmp_path):
+    """The indexed step's lax.scan branch (steps_per_call > 1 stacks
+    index batches as [K, B]) must reproduce the host feed exactly."""
+    def run(device_cache):
+        cfg = tiny_config(data16, num_devices=8, epoch=2, steps_per_call=2,
+                          device_cache=device_cache)
+        tr = Trainer(cfg)
+        engaged = tr._device_data is not None
+        tr.train()
+        return engaged, jax.device_get(tr.state.vars_g["params"])
+
+    on_engaged, on_params = run(True)
+    off_engaged, off_params = run(False)
+    assert on_engaged and not off_engaged
+    for a, b in zip(jax.tree.leaves(on_params), jax.tree.leaves(off_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_device_cache_resume_mid_epoch(data16, tmp_path):
-    """Mid-epoch skip works on the index feed (preemption resume)."""
+    """Mid-epoch skip works on the index feed (preemption resume): the
+    feed yields bare index arrays; skipping k calls must yield exactly
+    the suffix of the unskipped schedule."""
     cfg = tiny_config(data16, num_devices=8, epoch=1, device_cache=True)
     tr = Trainer(cfg)
     batches = list(tr._device_batches(0, skip_calls=2))
     all_batches = list(tr._device_batches(0, skip_calls=0))
     assert len(batches) == len(all_batches) - 2
-    np.testing.assert_array_equal(np.asarray(batches[0][0]),
-                                  np.asarray(all_batches[2][0]))
+    np.testing.assert_array_equal(np.asarray(batches[0]),
+                                  np.asarray(all_batches[2]))
