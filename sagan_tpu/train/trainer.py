@@ -42,7 +42,8 @@ from ..data.loader import get_dataset_and_info
 from ..models import get_discriminator, get_generator
 from ..ops.losses import get_loss
 from ..parallel.mesh import (DATA_AXIS, make_mesh, model_parallel_size,
-                             param_shardings, replicate, shard_batch)
+                             param_shardings, put_with_sharding, replicate,
+                             shard_batch)
 from ..utils.images import save_image_grid
 from ..utils.tb_writer import SummaryWriter
 from .optim import make_gan_optimizers
@@ -59,13 +60,19 @@ class TrainState(NamedTuple):
 
 
 def build_train_step(gen, disc, opt_g, opt_d, config, mesh,
-                     state_shardings=None, indexed=False):
+                     state_shardings=None, indexed=False,
+                     cache_per_host=False):
     """Returns jitted (state, images_u8, labels) -> (state, metrics).
 
     With ``indexed=True`` (device-resident dataset cache) the signature
     is (state, data_imgs_u8, data_labels, idx) -> (state, metrics): the
     batch gather from the HBM-resident dataset happens inside the step's
     own XLA program (see the ``indexed`` branch below).
+    ``cache_per_host=True`` (multi-process runs) marks the dataset
+    arrays as carrying a leading device axis sharded over ``data`` —
+    each shard is a copy of the owning host's LOCAL dataset shard (see
+    ``build_device_cache``); the step drops the unit axis before
+    gathering.
 
     ``config['steps_per_call'] = K > 1`` fuses K consecutive training
     steps into one XLA program via ``lax.scan`` (batches arrive stacked
@@ -340,12 +347,18 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh,
         # uint8→[-1,1] normalize.  ``jnp.take(..., axis=0)`` with the
         # same indices is bit-identical to the standalone ``d[i]``
         # gather, so the host-feed parity contract is unchanged.
+        # cache_per_host: inside shard_map the data block arrives
+        # [1, n_pad, ...] (its host's local shard copy) — drop the axis
+        unwrap = (lambda d: d[0]) if cache_per_host else (lambda d: d)
         if steps_per_call > 1:
             def fn(state, data_imgs, data_labels, idx_k):  # idx [K, B]
+                imgs_all = unwrap(data_imgs)
+                labels_all = unwrap(data_labels)
+
                 def body(st, idx):
                     return step_fn(st,
-                                   jnp.take(data_imgs, idx, axis=0),
-                                   jnp.take(data_labels, idx, axis=0))
+                                   jnp.take(imgs_all, idx, axis=0),
+                                   jnp.take(labels_all, idx, axis=0))
 
                 state, metrics_k = lax.scan(body, state, idx_k)
                 metrics = jax.tree.map(lambda m: jnp.mean(m, axis=0),
@@ -356,12 +369,16 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh,
         else:
             def fn(state, data_imgs, data_labels, idx):
                 return step_fn(state,
-                               jnp.take(data_imgs, idx, axis=0),
-                               jnp.take(data_labels, idx, axis=0))
+                               jnp.take(unwrap(data_imgs), idx, axis=0),
+                               jnp.take(unwrap(data_labels), idx, axis=0))
 
             idx_spec = P(DATA_AXIS)
 
         if gspmd:
+            if cache_per_host:
+                raise ValueError("cache_per_host (multi-process device "
+                                 "cache) requires the 1-D data-parallel "
+                                 "mesh, not GSPMD")
             from jax.sharding import NamedSharding
             kwargs = {}
             if state_shardings is not None:
@@ -371,9 +388,10 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh,
                                   NamedSharding(mesh, idx_spec)),
                     out_shardings=(state_shardings, rep))
             return jax.jit(fn, donate_argnums=(0,), **kwargs)
+        data_spec = P(DATA_AXIS) if cache_per_host else P()
         sharded = jax.shard_map(
             fn, mesh=mesh,
-            in_specs=(P(), P(), P(), idx_spec),
+            in_specs=(P(), data_spec, data_spec, idx_spec),
             out_specs=(P(), P()),
             check_vma=False,
         )
@@ -417,6 +435,61 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh,
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))
+
+
+def build_device_cache(ds, mesh, steps_per_call: int = 1):
+    """Upload the host-local dataset shard to HBM for the indexed feed.
+
+    Returns ``((imgs_dev, labels_dev), idx_sharding, per_host)`` for use
+    with ``build_train_step(indexed=True, cache_per_host=per_host)``.
+
+    Single-process: the uint8 arrays are replicated over the mesh and
+    each device gathers its batch rows from its own copy.
+
+    Multi-process (DCN): each host holds a DIFFERENT loader shard, which
+    a replicated global array cannot express — instead the data gets a
+    leading device axis sharded over ``data``, every shard being a copy
+    of the owning host's local data (per-device HBM cost identical to
+    the single-process replication).  Local shard lengths may differ
+    across hosts (uneven shard files, SURVEY.md §5 lockstep contract);
+    all hosts zero-pad to the allgathered max — pad rows are never
+    gathered because ``epoch_index_batches`` only draws indices below
+    the local record count.
+    """
+    from jax.sharding import NamedSharding
+
+    imgs, labels = ds.materialized()
+    per_host = jax.process_count() > 1
+    if not per_host:
+        rep = NamedSharding(mesh, P())
+        data = (jax.device_put(imgs, rep), jax.device_put(labels, rep))
+    else:
+        if model_parallel_size(mesh) > 1:
+            raise ValueError("device_cache: multi-process + model_parallel"
+                             " is not supported (use the host feed)")
+        from jax.experimental import multihost_utils
+
+        n_local = len(labels)
+        counts = np.asarray(multihost_utils.process_allgather(
+            np.asarray(n_local, np.int32)))
+        n_pad = int(counts.max())
+        if n_pad != n_local:
+            imgs = np.concatenate(
+                [imgs, np.zeros((n_pad - n_local,) + imgs.shape[1:],
+                                imgs.dtype)])
+            labels = np.concatenate(
+                [labels, np.zeros((n_pad - n_local,), labels.dtype)])
+        local_rows = sum(d.process_index == jax.process_index()
+                         for d in mesh.devices.flat)
+        img_sh = NamedSharding(mesh, P(DATA_AXIS, *([None] * imgs.ndim)))
+        lab_sh = NamedSharding(mesh, P(DATA_AXIS, None))
+        data = tuple(
+            jax.make_array_from_process_local_data(
+                sh, np.ascontiguousarray(
+                    np.broadcast_to(a[None], (local_rows,) + a.shape)))
+            for a, sh in ((imgs, img_sh), (labels, lab_sh)))
+    idx_spec = P(None, DATA_AXIS) if steps_per_call > 1 else P(DATA_AXIS)
+    return data, NamedSharding(mesh, idx_spec), per_host
 
 
 def build_sample_fn(gen, mesh):
@@ -556,9 +629,10 @@ class Trainer:
         resume and numerics are unchanged.
 
         ``device_cache``: True / False / "auto" (default) — auto enables
-        when the dataset exposes the index protocol, training is
-        single-process, and the local data fits
-        ``device_cache_budget_mb`` (default 2048).
+        when the dataset exposes the index protocol and the local data
+        fits ``device_cache_budget_mb`` (default 2048).  Multi-process
+        runs cache each host's shard (see ``build_device_cache``);
+        unsupported only in combination with ``model_parallel``.
         """
         config = self.config
         mode = config.get("device_cache", "auto")
@@ -572,42 +646,38 @@ class Trainer:
                     "(the augmenting image-folder loader re-draws images "
                     "every epoch and cannot be frozen into a cache)")
             return
-        if config.get("process_count", 1) > 1:
+        nproc = max(1, config.get("process_count", 1))
+        if nproc > 1 and model_parallel_size(self.mesh) > 1:
             if mode is True:
-                raise ValueError("device_cache is single-process only "
-                                 "(each host would cache its shard; use "
-                                 "the host feed for multi-host runs)")
+                raise ValueError("device_cache with model_parallel is "
+                                 "single-process only (use the host feed "
+                                 "for multi-host GSPMD runs)")
             return
         budget = config.get("device_cache_budget_mb", 2048) * (1 << 20)
         est = (min(ds.num_records,
                    config.get("data_size", -1) if
                    config.get("data_size", -1) > 0 else ds.num_records)
-               * ds.img_size * ds.img_size * 3)
+               * ds.img_size * ds.img_size * 3) // nproc  # per-host shard
         if est > budget:
             if mode is True:
                 raise ValueError(
-                    f"device_cache=True but the dataset is ~{est >> 20} MB"
+                    f"device_cache=True but the local shard is ~"
+                    f"{est >> 20} MB"
                     f" > device_cache_budget_mb={budget >> 20}")
             return
 
-        from jax.sharding import NamedSharding
-        from jax.sharding import PartitionSpec as P
-
-        imgs, labels = ds.materialized()
-        rep = NamedSharding(self.mesh, P())
-        self._device_data = (jax.device_put(imgs, rep),
-                             jax.device_put(labels, rep))
-        self._idx_sharding = NamedSharding(
-            self.mesh, P(None, DATA_AXIS) if self.steps_per_call > 1
-            else P(DATA_AXIS))
+        self._device_data, self._idx_sharding, per_host = \
+            build_device_cache(ds, self.mesh, self.steps_per_call)
         # the batch gather runs INSIDE the train step's XLA program
         # (build_train_step indexed=True) — a separate gather jit would
         # add one program boundary per call to the hot loop
         self.train_step_indexed = build_train_step(
             self.generator, self.discriminator, self.opt_g, self.opt_d,
             self.config, self.mesh, state_shardings=self.state_shardings,
-            indexed=True)
-        print(f"device cache: {imgs.nbytes >> 20} MB uploaded to HBM "
+            indexed=True, cache_per_host=per_host)
+        imgs, labels = ds.materialized()
+        print(f"device cache: {imgs.nbytes >> 20} MB "
+              f"{'(local shard) ' if per_host else ''}uploaded to HBM "
               f"({len(labels)} records); feeding index batches",
               flush=True)
 
@@ -636,7 +706,7 @@ class Trainer:
                 skip_calls -= 1
                 continue
             ready = pending
-            pending = jax.device_put(idx, self._idx_sharding)
+            pending = put_with_sharding(idx, self._idx_sharding)
             if ready is not None:
                 yield ready
         if pending is not None:

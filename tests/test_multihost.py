@@ -64,3 +64,48 @@ def test_two_process_distributed_train_epoch(tmp_path):
     assert {vals[0]["pid"], vals[1]["pid"]} == {"0", "1"}
     # both hosts ran the same (global-count-derived) number of steps
     assert vals[0]["steps"] == vals[1]["steps"] != "0"
+
+
+def test_two_process_device_cache_matches_host_feed(tmp_path):
+    """The multi-process device-resident cache (per-host shard upload +
+    in-program gather) must reproduce the host feed bit-for-bit on both
+    hosts — with deliberately uneven per-host shards, so the
+    pad-to-allgathered-max upload and lockstep index wraparound are both
+    on the path."""
+    from sagan_tpu.data.synthetic import make_synthetic_dataset
+
+    data = make_synthetic_dataset(str(tmp_path / "ds"), num=60, img_size=16,
+                                  num_classes=4, num_shards=3, seed=3)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "multihost_cache_worker.py")
+    port = _free_port()
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port), data],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd=repo)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, (out[-1000:], err[-3000:])
+        outs.append(out)
+
+    lines = [next(ln for ln in o.splitlines() if "CACHEPARITY_OK" in ln)
+             for o in outs]
+    vals = [dict(kv.split("=") for kv in ln.split()[1:]) for ln in lines]
+    for v in vals:            # cache feed ≡ host feed on each host
+        assert v["host"] == v["cache"], v
+    # and both hosts hold identical (pmean-synced) parameters
+    assert vals[0]["host"] == vals[1]["host"]
+    assert {vals[0]["pid"], vals[1]["pid"]} == {"0", "1"}
