@@ -311,25 +311,38 @@ def load_cached_baseline(device_kind):
     measurement instead of behind a 100-430 s cold naive compile; the
     honest same-process interleaved ratio is re-measured after the
     headline whenever budget remains (and refreshes this cache)."""
+    entry = _load_baseline_entries().get(device_kind)
+    return entry or None
+
+
+def _load_baseline_entries():
+    """Cache entries keyed by device_kind (legacy single-entry schema
+    is migrated on read)."""
     try:
         with open(BASELINE_CACHE_PATH) as f:
-            entry = json.load(f).get("church64_naive")
+            entries = json.load(f).get("church64_naive") or {}
     except (OSError, ValueError):
-        return None
-    if entry and entry.get("device_kind") == device_kind:
-        return entry
-    return None
+        return {}
+    if "device_kind" in entries:  # legacy: one flat entry
+        entries = {entries["device_kind"]: entries}
+    return entries
 
 
 def store_cached_baseline(device_kind, imgs_per_sec):
+    # merge keyed by device_kind: a run on a different chip kind must
+    # not clobber the committed measurement for this one (that would
+    # re-introduce the cold-naive-compile-before-headline path the
+    # cache exists to avoid)
+    entries = _load_baseline_entries()
+    entries[device_kind] = {
+        "device_kind": device_kind,
+        "imgs_per_sec": round(imgs_per_sec, 1),
+        "measured_unix": int(time.time()),
+        "source": ("same-process interleaved measurement vs the "
+                   "optimized step (bench.py)"),
+    }
     with open(BASELINE_CACHE_PATH, "w") as f:
-        json.dump({"church64_naive": {
-            "device_kind": device_kind,
-            "imgs_per_sec": round(imgs_per_sec, 1),
-            "measured_unix": int(time.time()),
-            "source": ("same-process interleaved measurement vs the "
-                       "optimized step (bench.py)"),
-        }}, f, indent=1)
+        json.dump({"church64_naive": entries}, f, indent=1)
         f.write("\n")
 
 

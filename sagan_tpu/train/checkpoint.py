@@ -109,33 +109,71 @@ class CheckpointManager:
                       f"{step}: {ex}", flush=True)
         return restored
 
-    def _quarantine(self, step: int) -> None:
+    def _step_dirs(self, step: int) -> list:
+        """Step dirs under the manager root matching ``step``: Orbax
+        names them "<step>" (or "<prefix>_<step>" / zero-padded under
+        non-default options) — match any dir whose trailing numeric
+        component equals the step."""
         root = str(self.mgr.directory)
-        moved = False
+        out = []
         for entry in os.listdir(root):
             src = os.path.join(root, entry)
-            # Orbax names step dirs "<step>" (or "<prefix>_<step>" /
-            # zero-padded under non-default options); match any dir
-            # whose trailing numeric component equals the step.
             tail = entry.rsplit("_", 1)[-1]
             if os.path.isdir(src) and tail.isdigit() and int(tail) == step:
-                dst = src + ".corrupt"
-                if os.path.exists(dst):
-                    import shutil
-                    shutil.rmtree(dst)
-                os.rename(src, dst)
-                print(f"quarantined unreadable checkpoint step {step} -> "
-                      f"{dst}", flush=True)
-                moved = True
-        if not moved:
+                out.append(src)
+        return out
+
+    @staticmethod
+    def _rename_dirs(step: int, dirs: list) -> None:
+        for src in dirs:
+            dst = src + ".corrupt"
+            if os.path.exists(dst):
+                import shutil
+                shutil.rmtree(dst)
+            os.rename(src, dst)
+            print(f"quarantined unreadable checkpoint step {step} -> "
+                  f"{dst}", flush=True)
+
+    def _quarantine(self, step: int) -> None:
+        """Rename the rotten step dir out of the manager's way.
+
+        Multi-host: the checkpoint directory is shared, so only process
+        0 touches the filesystem — unsynchronized per-process renames
+        would race (losers keep the rotten step in their manager's step
+        cache and later silently skip ``save(step)``, desyncing the
+        cross-host save barrier).  All processes agree on
+        found/not-found via an allgather (itself a barrier), process 0
+        renames, everyone barriers again, then every process reloads
+        its step cache."""
+        if jax.process_count() > 1:
+            import numpy as np
+            from jax.experimental import multihost_utils
+
+            found = np.asarray(multihost_utils.process_allgather(
+                np.asarray(bool(self._step_dirs(step))))).any()
+            if not found:
+                # orbax-coordinated collective delete (all processes)
+                self.mgr.delete(step)
+                print(f"deleted unreadable checkpoint step {step} (no "
+                      f"step dir found to quarantine)", flush=True)
+                return
+            if jax.process_index() == 0:
+                self._rename_dirs(step, self._step_dirs(step))
+            multihost_utils.sync_global_devices(
+                f"ckpt_quarantine_{step}")
+            self.mgr.reload()
+            return
+        dirs = self._step_dirs(step)
+        if not dirs:
             # fall back to deletion through the manager rather than
             # leaving the rotten step blocking future saves
             self.mgr.delete(step)
             print(f"deleted unreadable checkpoint step {step} (no step "
                   f"dir found to quarantine)", flush=True)
-        else:
-            # refresh the manager's step cache after the rename
-            self.mgr.reload()
+            return
+        self._rename_dirs(step, dirs)
+        # refresh the manager's step cache after the rename
+        self.mgr.reload()
 
     def latest_step(self):
         return self.mgr.latest_step()

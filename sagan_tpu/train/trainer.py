@@ -159,22 +159,31 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh,
             images_m = images.reshape(accum, micro, *images.shape[1:])
             labels_m = labels.reshape(accum, micro)
 
+        is_hinge = config.get("loss", "hinge_loss") == "hinge_loss"
+
         def d_health(out_real, out_fake):
             """Adversarial-balance diagnostics (round-3 addition after
             the gf64 artifact trained 22/30 epochs at D_loss=0 —
             VERDICT r2): mean D scores and the fraction of examples
-            still inside the hinge margin (real < 1 / fake > -1, i.e.
-            still contributing gradient under hinge_loss,
-            ops/losses.py).  Margin fractions near 0 mean the
-            discriminator has saturated and the adversarial signal is
-            degenerate."""
+            still contributing gradient.  Loss-aware: under hinge_loss
+            that is the hinge margin (real < 1 / fake > -1,
+            ops/losses.py); under cross_entropy (BCE-from-logits) an
+            example's gradient magnitude is |sigmoid(logit) - target|,
+            so we count examples where it exceeds 1e-2 (|logit| below
+            ~4.6).  Fractions near 0 mean the discriminator has
+            saturated and the adversarial signal is degenerate."""
             r = out_real.astype(jnp.float32)
             f = out_fake.astype(jnp.float32)
+            if is_hinge:
+                in_r, in_f = r < 1.0, f > -1.0
+            else:
+                in_r = jax.nn.sigmoid(r) < 1.0 - 1e-2
+                in_f = jax.nn.sigmoid(f) > 1e-2
             return {
                 "D_real_mean": jnp.mean(r),
                 "D_fake_mean": jnp.mean(f),
-                "D_real_in_margin": jnp.mean((r < 1.0).astype(jnp.float32)),
-                "D_fake_in_margin": jnp.mean((f > -1.0).astype(jnp.float32)),
+                "D_real_in_margin": jnp.mean(in_r.astype(jnp.float32)),
+                "D_fake_in_margin": jnp.mean(in_f.astype(jnp.float32)),
             }
 
         def d_loss(params_d, aux_d, imgs, lbls, fake, fl):
@@ -479,15 +488,21 @@ def build_device_cache(ds, mesh, steps_per_call: int = 1):
                                 imgs.dtype)])
             labels = np.concatenate(
                 [labels, np.zeros((n_pad - n_local,), labels.dtype)])
-        local_rows = sum(d.process_index == jax.process_index()
-                         for d in mesh.devices.flat)
+        local_devs = [d for d in mesh.devices.flat
+                      if d.process_index == jax.process_index()]
         img_sh = NamedSharding(mesh, P(DATA_AXIS, *([None] * imgs.ndim)))
         lab_sh = NamedSharding(mesh, P(DATA_AXIS, None))
-        data = tuple(
-            jax.make_array_from_process_local_data(
-                sh, np.ascontiguousarray(
-                    np.broadcast_to(a[None], (local_rows,) + a.shape)))
-            for a, sh in ((imgs, img_sh), (labels, lab_sh)))
+
+        def upload(a, sh):
+            # one [1, ...] shard device_put per local device — NOT a
+            # broadcast_to + ascontiguousarray host buffer, which would
+            # materialize local_device_count contiguous copies of the
+            # padded shard in host RAM before the transfer
+            shards = [jax.device_put(a[None], d) for d in local_devs]
+            return jax.make_array_from_single_device_arrays(
+                (mesh.devices.size,) + a.shape, sh, shards)
+
+        data = (upload(imgs, img_sh), upload(labels, lab_sh))
     idx_spec = P(None, DATA_AXIS) if steps_per_call > 1 else P(DATA_AXIS)
     return data, NamedSharding(mesh, idx_spec), per_host
 
@@ -609,7 +624,10 @@ class Trainer:
         self._profile_dir = config.get("profile_dir")
         self._device_data = None
         self.train_step_indexed = None
-        self._maybe_build_device_cache()
+        self._device_cache_checked = False
+        # the cache itself is built lazily on the first train() call —
+        # eval-only users (evaluate.py CLI) must not pay a full dataset
+        # decode + HBM upload for a sample_fn they could build alone
 
     # -- device-resident dataset cache --------------------------------------
     def _maybe_build_device_cache(self) -> None:
@@ -629,11 +647,20 @@ class Trainer:
         resume and numerics are unchanged.
 
         ``device_cache``: True / False / "auto" (default) — auto enables
-        when the dataset exposes the index protocol and the local data
-        fits ``device_cache_budget_mb`` (default 2048).  Multi-process
-        runs cache each host's shard (see ``build_device_cache``);
-        unsupported only in combination with ``model_parallel``.
+        when the dataset exposes the index protocol, the in-RAM dataset
+        cache is on (the index schedule reproduces the *cached* host
+        feed; with ``cache_dataset: False`` the host feed uses the
+        streaming-buffer shuffle, a different schedule, so auto
+        respects the opt-out), and the uploaded shard fits
+        ``device_cache_budget_mb`` (default 2048).  Multi-process runs
+        cache each host's shard padded to the allgathered max (see
+        ``build_device_cache``), and the budget is checked against that
+        actual padded size; unsupported only in combination with
+        ``model_parallel``.
         """
+        if self._device_cache_checked:
+            return
+        self._device_cache_checked = True
         config = self.config
         mode = config.get("device_cache", "auto")
         if not mode:
@@ -646,6 +673,16 @@ class Trainer:
                     "(the augmenting image-folder loader re-draws images "
                     "every epoch and cannot be frozen into a cache)")
             return
+        if not getattr(ds, "cache_in_memory", False):
+            if mode is True:
+                raise ValueError(
+                    "device_cache=True conflicts with cache_dataset="
+                    "False: the index schedule reproduces the CACHED "
+                    "host feed (Fisher-Yates per epoch); the uncached "
+                    "host feed uses the streaming-buffer shuffle, a "
+                    "different schedule, so enabling both would break "
+                    "exact resume against it")
+            return
         nproc = max(1, config.get("process_count", 1))
         if nproc > 1 and model_parallel_size(self.mesh) > 1:
             if mode is True:
@@ -654,15 +691,24 @@ class Trainer:
                                  "for multi-host GSPMD runs)")
             return
         budget = config.get("device_cache_budget_mb", 2048) * (1 << 20)
-        est = (min(ds.num_records,
-                   config.get("data_size", -1) if
-                   config.get("data_size", -1) > 0 else ds.num_records)
-               * ds.img_size * ds.img_size * 3) // nproc  # per-host shard
+        # Budget against the size each device will ACTUALLY hold: the
+        # materialized local shard, padded to the allgathered max —
+        # file-based sharding gives uneven shards, so a global/nproc
+        # estimate can undercount the biggest host's upload.  (The
+        # materialization is not wasted on the reject path: with
+        # cache_in_memory on, the host feed serves from the same cache.)
+        n_upload = len(ds.materialized()[1])
+        if nproc > 1:
+            from jax.experimental import multihost_utils
+            counts = np.asarray(multihost_utils.process_allgather(
+                np.asarray(n_upload, np.int32)))
+            n_upload = int(counts.max())  # consistent across hosts
+        est = n_upload * ds.img_size * ds.img_size * 3
         if est > budget:
             if mode is True:
                 raise ValueError(
-                    f"device_cache=True but the local shard is ~"
-                    f"{est >> 20} MB"
+                    f"device_cache=True but the (padded) local shard is "
+                    f"~{est >> 20} MB"
                     f" > device_cache_budget_mb={budget >> 20}")
             return
 
@@ -859,6 +905,7 @@ class Trainer:
                   f"{num_epochs})", flush=True)
             return
 
+        self._maybe_build_device_cache()
         previous_handlers = self._install_preemption_handler()
         try:
             self._train_epochs(start_epoch, num_epochs)

@@ -112,6 +112,20 @@ def main():
     cache_sum = checksum(state)
 
     assert np.isfinite(host_sum) and np.isfinite(cache_sum)
+
+    # 3. Trainer-level auto path: the lazy _maybe_build_device_cache
+    #    must engage the multi-process cache (padded-shard budget
+    #    allgather included) and train an epoch end-to-end.
+    from sagan_tpu.train.trainer import Trainer
+
+    tcfg = dict(config)
+    tcfg.update({"epoch": 1, "print_variables": False,
+                 "device_cache": "auto"})
+    tr = Trainer(tcfg)
+    tr.train(num_epochs=1)
+    assert tr._device_data is not None, "auto device cache did not engage"
+    assert tr.global_step() > 0
+
     print(f"CACHEPARITY_OK pid={pid} host={host_sum:.10f} "
           f"cache={cache_sum:.10f}", flush=True)
 

@@ -511,8 +511,8 @@ def test_device_cache_feed_matches_host_feed(data16, tmp_path):
         cfg = tiny_config(data16, num_devices=8, epoch=2,
                           device_cache=device_cache)
         tr = Trainer(cfg)
-        engaged = tr._device_data is not None
         tr.train()
+        engaged = tr._device_data is not None  # built lazily on train()
         params = jax.device_get(tr.state.vars_g["params"])
         return engaged, params
 
@@ -533,8 +533,8 @@ def test_device_cache_gspmd_matches_host_feed(data16, tmp_path):
         cfg = tiny_config(data16, num_devices=8, model_parallel=2,
                           epoch=2, device_cache=device_cache)
         tr = Trainer(cfg)
-        engaged = tr._device_data is not None
         tr.train()
+        engaged = tr._device_data is not None  # built lazily on train()
         return engaged, jax.device_get(tr.state.vars_g["params"])
 
     on_engaged, on_params = run(True)
@@ -551,8 +551,8 @@ def test_device_cache_steps_per_call_matches_host_feed(data16, tmp_path):
         cfg = tiny_config(data16, num_devices=8, epoch=2, steps_per_call=2,
                           device_cache=device_cache)
         tr = Trainer(cfg)
-        engaged = tr._device_data is not None
         tr.train()
+        engaged = tr._device_data is not None  # built lazily on train()
         return engaged, jax.device_get(tr.state.vars_g["params"])
 
     on_engaged, on_params = run(True)
@@ -568,6 +568,8 @@ def test_device_cache_resume_mid_epoch(data16, tmp_path):
     the suffix of the unskipped schedule."""
     cfg = tiny_config(data16, num_devices=8, epoch=1, device_cache=True)
     tr = Trainer(cfg)
+    tr._maybe_build_device_cache()  # lazy: normally built on train()
+    assert tr._device_data is not None
     batches = list(tr._device_batches(0, skip_calls=2))
     all_batches = list(tr._device_batches(0, skip_calls=0))
     assert len(batches) == len(all_batches) - 2

@@ -35,9 +35,10 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sagan_tpu.utils.timing import timeit_best  # noqa: E402
 from sagan_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
@@ -76,17 +77,6 @@ def bn_fwd(moments):
     return f
 
 
-def timeit_fetch(fn, args, iters=30, reps=5):
-    out = fn(*args)
-    float(jax.device_get(out))  # warm + force
-    best = np.inf
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        float(jax.device_get(out))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
 
 
 def main():
@@ -106,7 +96,7 @@ def main():
                 v, g = f(x, gamma, beta)
                 return v
 
-            dt = timeit_fetch(run, ())
+            dt = timeit_best(run, iters=30, reps=5, jit=False)
             gb = x.size * 2 / 1e9
             results[(shape, name)] = dt
             print(json.dumps({
