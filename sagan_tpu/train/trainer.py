@@ -59,6 +59,36 @@ class TrainState(NamedTuple):
     ema_g: Any = None   # EMA of G params (None when g_ema_decay == 0)
 
 
+class _MetricsPacker:
+    """Pack a metrics pytree into ONE flat f32 device vector so the
+    summary fetch is a single tunnel round trip.
+
+    ``jax.device_get`` on a ~30-leaf metrics dict costs 30-50 ms on this
+    remote backend (one round trip per leaf, measured); fetching one
+    packed vector costs ~1.5 ms.  The pack itself is an extra jitted
+    program, but it is dispatched asynchronously and only at summary
+    cadence (a few times per epoch), not per step."""
+
+    def __init__(self, template):
+        leaves, self.treedef = jax.tree.flatten(template)
+        self.shapes = [tuple(leaf.shape) for leaf in leaves]
+        self.sizes = [int(np.prod(s)) if s else 1 for s in self.shapes]
+        self._pack = jax.jit(lambda t: jnp.concatenate(
+            [jnp.ravel(x).astype(jnp.float32)
+             for x in jax.tree.leaves(t)]))
+
+    def pack(self, tree):
+        return self._pack(tree)
+
+    def unpack(self, flat) -> dict:
+        flat = np.asarray(flat)
+        out, off = [], 0
+        for shape, size in zip(self.shapes, self.sizes):
+            out.append(flat[off:off + size].reshape(shape))
+            off += size
+        return jax.tree.unflatten(self.treedef, out)
+
+
 def build_train_step(gen, disc, opt_g, opt_d, config, mesh,
                      state_shardings=None, indexed=False,
                      cache_per_host=False):
@@ -625,6 +655,7 @@ class Trainer:
         self._device_data = None
         self.train_step_indexed = None
         self._device_cache_checked = False
+        self._packer = None  # lazy _MetricsPacker (built on first fetch)
         # the cache itself is built lazily on the first train() call —
         # eval-only users (evaluate.py CLI) must not pay a full dataset
         # decode + HBM upload for a sample_fn they could build alone
@@ -811,10 +842,35 @@ class Trainer:
             return {"params": state.ema_g, "aux": state.vars_g["aux"]}
         return state.vars_g
 
-    def sample_images(self) -> np.ndarray:
-        imgs = self.sample_fn(self.eval_vars_g(), self.fixed_z,
+    def sample_images_device(self):
+        """Dispatch the fixed-latent G forward and return the device
+        array WITHOUT fetching — the in-loop summary path defers the
+        host copy so the ~0.8 MB tunnel transfer and PNG/TB encode
+        overlap device execution instead of draining the pipeline
+        (measured 11% of end-to-end throughput,
+        tools/bench_epoch_overhead.py)."""
+        return self.sample_fn(self.eval_vars_g(), self.fixed_z,
                               self.fixed_labels)
-        return np.asarray(jax.device_get(imgs))
+
+    def sample_images(self) -> np.ndarray:
+        return np.asarray(jax.device_get(self.sample_images_device()))
+
+    def _start_host_copies(self, rec) -> None:
+        """Best-effort ``copy_to_host_async`` on a deferred-summary
+        record's device values so the transfer overlaps the next
+        summary interval's compute.  Harmless if the backend ignores
+        it — the ``device_get`` at consume time then pays the transfer,
+        still overlapped with the device's dispatch backlog."""
+        if not getattr(self, "_host_copy_async", True):
+            return
+        try:
+            for leaf in jax.tree.leaves(rec[2]):
+                leaf.copy_to_host_async()
+            if rec[3] is not None:
+                rec[3].copy_to_host_async()
+        except Exception:
+            # unsupported on this backend/array type: stop trying
+            self._host_copy_async = False
 
     def _epoch_of(self, step: int) -> int:
         return step // max(1, self.steps_per_epoch)
@@ -943,6 +999,54 @@ class Trainer:
             timer_last = 0  # call index of the newest timed fetch
             skip = resume_skip if epoch == start_epoch else 0
             cached = self._device_data is not None
+            # Deferred summaries: a summary point enqueues async host
+            # copies of (metrics, sample grid) and consumes the PREVIOUS
+            # interval's copies — the fetch then waits only for a step
+            # the device has long finished, and the TB/PNG encode
+            # overlaps device execution of the backlog instead of
+            # draining the pipeline.  Measured on hardware
+            # (tools/bench_epoch_overhead.py): the synchronous form
+            # cost 21% of end-to-end church64 throughput (grid 11%,
+            # scalar fetch+encode 10%).
+            pending_summary = None
+
+            def consume(rec):
+                nonlocal acc_n, acc_last, timer_last
+                rec_count, rec_step, rec_packed, rec_sample = rec
+                fetched = self._packer.unpack(jax.device_get(rec_packed))
+                # the fetch above is a true barrier for step rec_count
+                # (block_until_ready does not wait on this backend)
+                timer.tick(rec_count - timer_last)
+                timer_last = rec_count
+                var_means = fetched.pop("G_var_means", None)
+                fetched.pop("G_grad_norms", None)
+                m = {k: float(v) for k, v in fetched.items()}
+                for k, v in m.items():
+                    acc[k] = acc.get(k, 0.0) + v
+                acc_n += 1
+                acc_last = rec_count
+                if self.writer:
+                    self.writer.scalars(
+                        {f"step/{k}": v for k, v in m.items()}, rec_step)
+                    if var_means is not None:
+                        self.writer.scalars(
+                            self.var_summaries(var_means), rec_step)
+                    # fixed-latent sample grid every summary_step_freq
+                    # steps (sagan/main.py:266-268, 332-339)
+                    from ..utils.images import make_grid
+                    self.writer.image(
+                        "sample",
+                        make_grid(np.asarray(jax.device_get(rec_sample))),
+                        rec_step)
+                    self.writer.flush()
+            # Host-side step counter: ``global_step()`` fetches
+            # state.step of the NEWEST dispatched call, so calling it
+            # mid-loop is a full pipeline drain (measured ~50 ms device
+            # idle per summary point, tools/bench_epoch_overhead.py).
+            # The counter is deterministic (+steps_per_call per call);
+            # it is synced from the device once per epoch, at a point
+            # where the pipeline is already drained.
+            host_step = self.global_step()
             for batch in self._device_batches(epoch, skip):
                 if tracer and epoch == start_epoch:
                     # trace steps [10, 20) of the first epoch (post-warmup)
@@ -955,6 +1059,7 @@ class Trainer:
                     self.state, metrics = self.train_step(self.state, images,
                                                           labels)
                 count += 1
+                host_step += self.steps_per_call
                 if self._preempted:
                     if tracer:
                         tracer.close()
@@ -969,38 +1074,16 @@ class Trainer:
                               f"saving", flush=True)
                     return
                 if count % summary_freq == 0:
-                    fetched = dict(jax.device_get(metrics))
-                    # the fetch above is the only true execution barrier
-                    # (block_until_ready does not wait on this backend):
-                    # time the calls since the previous fetch
-                    timer.tick(count - timer_last)
-                    timer_last = count
-                    var_means = fetched.pop("G_var_means", None)
-                    grad_norms = fetched.pop("G_grad_norms", None)
-                    m = {k: float(v) for k, v in fetched.items()}
-                    for k, v in m.items():
-                        acc[k] = acc.get(k, 0.0) + v
-                    acc_n += 1
-                    acc_last = count
-                    if self.writer:
-                        step_now = self.global_step()
-                        self.writer.scalars(
-                            {f"step/{k}": v for k, v in m.items()},
-                            step_now)
-                        if var_means is not None:
-                            self.writer.scalars(
-                                self.var_summaries(var_means), step_now)
-                        # fixed-latent sample grid every summary_step_freq
-                        # steps (sagan/main.py:266-268, 332-339)
-                        from ..utils.images import make_grid
-                        self.writer.image(
-                            "sample", make_grid(self.sample_images()),
-                            step_now)
-                        self.writer.flush()
-                    # re-arm: the summary work above (sample grid, TB
-                    # encode, flush) must not be billed to the next
-                    # timed train-step interval
-                    timer.start()
+                    if self._packer is None:
+                        self._packer = _MetricsPacker(metrics)
+                    rec = (count, host_step,
+                           self._packer.pack(metrics),
+                           self.sample_images_device()
+                           if self.writer else None)
+                    self._start_host_copies(rec)
+                    if pending_summary is not None:
+                        consume(pending_summary)
+                    pending_summary = rec
 
             if tracer:
                 tracer.close()
@@ -1009,9 +1092,19 @@ class Trainer:
                     "epoch produced no batches — data_size/global_batch "
                     "too small for even one step")
 
+            if pending_summary is not None:
+                # drain the deferred summary from the last interval
+                consume(pending_summary)
+                pending_summary = None
             step = self.global_step()
+            if self._packer is None:
+                self._packer = _MetricsPacker(metrics)
+            fetched = self._packer.unpack(
+                jax.device_get(self._packer.pack(metrics)))
+            # epoch_time is taken AFTER the fetch above so it is strictly
+            # fetch-forced — it includes the drain of every dispatched
+            # step (block_until_ready is not a barrier on this backend)
             epoch_time = time.time() - t0
-            fetched = dict(jax.device_get(metrics))
             timer.tick(count - timer_last)
             fetched.pop("G_var_means", None)
             grad_norms = fetched.pop("G_grad_norms", None)
@@ -1030,10 +1123,15 @@ class Trainer:
             # summary_step_freq to avoid per-step device syncs; see
             # PARITY.md)
             mean = {k: v / acc_n for k, v in acc.items()}
-            # fetch-to-fetch execution time per step; epochs too short to
-            # contain two fetches fall back to whole-epoch wall clock
-            step_ms = (timer.mean_ms() or 1000.0 * epoch_time / count) \
-                / self.steps_per_call
+            # End-to-end ms/step from the fetch-forced epoch wall clock
+            # (includes loader + overlapped summary work — the honest
+            # sustained rate).  The timer's fetch-to-fetch estimate is
+            # kept as a separate scalar: with deferred summaries its
+            # barriers are one interval stale, so it is a best-effort
+            # execution-time view, not the throughput number.
+            step_ms = 1000.0 * epoch_time / count / self.steps_per_call
+            exec_ms = timer.mean_ms()
+            exec_ms = exec_ms / self.steps_per_call if exec_ms else None
             if self.writer:
                 scalars = {
                     "generator_loss": mean["G_loss"],
@@ -1042,6 +1140,8 @@ class Trainer:
                     "D_grad_norm": mean["D_grad_norm"],
                     "epoch_time_sec": epoch_time,
                     "step_time_ms": step_ms,
+                    **({"step_time_exec_ms": exec_ms}
+                       if exec_ms is not None else {}),
                     "lr_g": float(self.sched_g(step)),
                     "lr_d": float(self.sched_d(step * config.get(
                         "update_ratio", 1))),

@@ -379,6 +379,55 @@ def test_event_file_has_grad_norm_and_image_summaries(data16, tmp_path):
     assert img_events >= 2
 
 
+def test_metrics_packer_round_trip():
+    """_MetricsPacker flattens a metrics pytree into one f32 device
+    vector (one tunnel round trip instead of one per leaf) and must
+    invert exactly: same treedef, same shapes, same values."""
+    from sagan_tpu.train.trainer import _MetricsPacker
+
+    tree = {"G_loss": jnp.float32(1.5), "D_loss": jnp.float32(-0.25),
+            "G_var_means": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+            "zstat": jnp.float32(3.0)}
+    packer = _MetricsPacker(tree)
+    flat = jax.device_get(packer.pack(tree))
+    assert flat.ndim == 1 and flat.size == 9
+    out = packer.unpack(flat)
+    assert set(out) == set(tree)
+    for k in tree:
+        np.testing.assert_array_equal(np.asarray(out[k]),
+                                      np.asarray(tree[k]))
+        assert np.asarray(out[k]).shape == np.asarray(tree[k]).shape
+
+
+def test_deferred_summary_steps_match_device_counter(data16, tmp_path):
+    """The deferred-summary path stamps TB step/* scalars with a
+    host-side step counter (global_step() mid-loop drains the device
+    pipeline).  The stamped steps must equal the true device step at
+    each summary point: multiples of summary_step_freq * steps_per_call,
+    every interval present, none duplicated or deferred past epoch end."""
+    tf = pytest.importorskip("tensorflow")
+
+    cfg = tiny_config(data16, num_devices=2, epoch=2,
+                      log_dir=str(tmp_path / "logs"),
+                      summary_step_freq=3)
+    tr = Trainer(cfg)
+    tr.train()
+    assert int(tr.global_step()) == 2 * tr.steps_per_epoch
+
+    logdir = cfg["log_dir"]
+    fname = [f for f in os.listdir(logdir) if "tfevents" in f][0]
+    steps = sorted(
+        ev.step
+        for ev in tf.compat.v1.train.summary_iterator(
+            os.path.join(logdir, fname))
+        for v in ev.summary.value if v.tag == "step/G_loss")
+    calls_per_epoch = tr.steps_per_epoch // tr.steps_per_call
+    expected = [epoch * tr.steps_per_epoch + c * tr.steps_per_call
+                for epoch in range(2)
+                for c in range(3, calls_per_epoch + 1, 3)]
+    assert steps == sorted(expected), (steps, expected)
+
+
 def test_random_flip_changes_dynamics_but_stays_finite(data16):
     cfg_a = tiny_config(data16, num_devices=2, random_flip=True)
     cfg_b = tiny_config(data16, num_devices=2, random_flip=False)
