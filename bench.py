@@ -346,10 +346,41 @@ def store_cached_baseline(device_kind, imgs_per_sec):
         f.write("\n")
 
 
+def acquire_device(timeout_s: float):
+    """Bound device acquisition.
+
+    ``jax.devices()`` blocks forever inside the axon claim-retry loop
+    when the remote pool is wedged (a SIGKILLed client can leave a
+    stale lease; observed >1 h).  Unbounded, that turns the driver's
+    bench run into rc=124 with zero output — bound it so the failure
+    mode is a fast, explicit diagnostic instead."""
+    import threading
+    box: list = []
+
+    def probe():
+        try:
+            box.append(jax.devices()[0])
+        except Exception as e:
+            box.append(e)
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if not box or isinstance(box[0], Exception):
+        why = repr(box[0]) if box else (
+            f"no device granted after {timeout_s:.0f}s — the pool claim "
+            "is likely held by a stale lease; retry later")
+        print(f"[bench] FATAL: device acquisition failed: {why}",
+              file=sys.stderr, flush=True)
+        sys.exit(3)
+    return box[0]
+
+
 def main():
     t0 = time.perf_counter()
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "420"))
-    dev = jax.devices()[0]
+    dev = acquire_device(float(os.environ.get("BENCH_DEVICE_TIMEOUT_S",
+                                              "600")))
     peak = chip_peak(dev.device_kind)
 
     optimized = dict(CHURCH64, compute_dtype="bfloat16", use_pallas=None,
