@@ -353,27 +353,16 @@ def acquire_device(timeout_s: float):
     when the remote pool is wedged (a SIGKILLed client can leave a
     stale lease; observed >1 h).  Unbounded, that turns the driver's
     bench run into rc=124 with zero output — bound it so the failure
-    mode is a fast, explicit diagnostic instead."""
-    import threading
-    box: list = []
-
-    def probe():
-        try:
-            box.append(jax.devices()[0])
-        except Exception as e:
-            box.append(e)
-
-    th = threading.Thread(target=probe, daemon=True)
-    th.start()
-    th.join(timeout_s)
-    if not box or isinstance(box[0], Exception):
-        why = repr(box[0]) if box else (
-            f"no device granted after {timeout_s:.0f}s — the pool claim "
-            "is likely held by a stale lease; retry later")
-        print(f"[bench] FATAL: device acquisition failed: {why}",
+    mode is a fast, explicit diagnostic instead.  Heartbeats and the
+    failure go to stderr: stdout is reserved for the one JSON line."""
+    from sagan_tpu.utils.device import wait_for_devices
+    try:
+        return wait_for_devices(log_every=30.0, timeout=timeout_s,
+                                stream=sys.stderr)[0]
+    except Exception as e:
+        print(f"[bench] FATAL: device acquisition failed: {e}",
               file=sys.stderr, flush=True)
         sys.exit(3)
-    return box[0]
 
 
 def main():

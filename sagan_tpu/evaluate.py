@@ -38,6 +38,9 @@ def main(argv=None):
                     help="skip the Inception Score")
     args = ap.parse_args(argv)
 
+    from .utils.device import wait_for_devices
+    wait_for_devices()
+
     from .train.fid import compute_fid_for_trainer, get_extractor
     from .train.trainer import Trainer
     from .utils.config import load_config_file, resolve_config

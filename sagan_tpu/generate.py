@@ -189,6 +189,9 @@ def main(argv=None):
                          "exit")
     args = ap.parse_args(argv)
 
+    from .utils.device import wait_for_devices
+    wait_for_devices()
+
     config = resolve_config(load_config_file(args.config_path))
     if "img_size" not in config or "num_classes" not in config:
         # model geometry lives in the dataset metadata, merged into the

@@ -74,6 +74,9 @@ def main(argv=None):
     from .utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
+    from .utils.device import wait_for_devices
+    wait_for_devices()
+
     from .train.trainer import Trainer
     from .utils.config import resolve_config
 

@@ -17,6 +17,9 @@ def main(argv=None):
 
     args = get_parameters(argv)
     config = load_config_file(args.config_path)
+
+    from .utils.device import wait_for_devices
+    wait_for_devices()
     if args.debug:
         config["data_size"] = min(
             config.get("data_size", -1) if config.get("data_size", -1) > 0

@@ -109,3 +109,30 @@ def test_config_num_devices_clamped():
     cfg = resolve_config(base, num_local_devices=2)
     assert cfg["num_devices"] == 2
     assert cfg["global_batch_size"] == 4
+
+
+def test_wait_for_devices_returns_devices():
+    """On an already-initialized (CPU) backend the grant is immediate —
+    the helper must return the device list without printing heartbeats."""
+    from sagan_tpu.utils.device import wait_for_devices
+
+    devs = wait_for_devices(log_every=30.0)
+    import jax
+    assert list(devs) == list(jax.devices())
+
+
+def test_wait_for_devices_timeout(monkeypatch, capsys):
+    """A wedged pool (jax.devices() blocking in the claim-retry loop)
+    must surface as TimeoutError after `timeout`, with heartbeats
+    printed while waiting — not an unbounded silent hang."""
+    import time
+
+    import jax
+    import pytest
+
+    from sagan_tpu.utils import device as device_mod
+
+    monkeypatch.setattr(jax, "devices", lambda: time.sleep(30))
+    with pytest.raises(TimeoutError, match="stale lease"):
+        device_mod.wait_for_devices(log_every=0.05, timeout=0.3)
+    assert "waiting for device grant" in capsys.readouterr().out
