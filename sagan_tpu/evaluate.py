@@ -38,8 +38,11 @@ def main(argv=None):
                     help="skip the Inception Score")
     args = ap.parse_args(argv)
 
+    import sys
+
     from .utils.device import wait_for_devices
-    wait_for_devices()
+    # heartbeat to stderr: this CLI's stdout ends with one JSON result
+    wait_for_devices(stream=sys.stderr)
 
     from .train.fid import compute_fid_for_trainer, get_extractor
     from .train.trainer import Trainer

@@ -189,8 +189,11 @@ def main(argv=None):
                          "exit")
     args = ap.parse_args(argv)
 
+    import sys
+
     from .utils.device import wait_for_devices
-    wait_for_devices()
+    # heartbeat to stderr: stdout lists the written sample paths
+    wait_for_devices(stream=sys.stderr)
 
     config = resolve_config(load_config_file(args.config_path))
     if "img_size" not in config or "num_classes" not in config:

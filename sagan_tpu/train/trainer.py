@@ -868,9 +868,13 @@ class Trainer:
                 leaf.copy_to_host_async()
             if rec[3] is not None:
                 rec[3].copy_to_host_async()
-        except Exception:
-            # unsupported on this backend/array type: stop trying
+        except (AttributeError, NotImplementedError, TypeError):
+            # the array type/backend has no async copy: stop trying
             self._host_copy_async = False
+        except Exception:
+            # transient failure on this record only — the device_get at
+            # consume time still fetches it; keep async copies armed
+            pass
 
     def _epoch_of(self, step: int) -> int:
         return step // max(1, self.steps_per_epoch)
@@ -1061,6 +1065,11 @@ class Trainer:
                 count += 1
                 host_step += self.steps_per_call
                 if self._preempted:
+                    if pending_summary is not None:
+                        # already packed and copying — write it so the
+                        # interval survives the preemption/resume cycle
+                        consume(pending_summary)
+                        pending_summary = None
                     if tracer:
                         tracer.close()
                     if self.ckpt_mgr:

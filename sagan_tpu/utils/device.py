@@ -42,7 +42,15 @@ def wait_for_devices(log_every: float = 60.0, timeout: float | None = None,
     th = threading.Thread(target=probe, daemon=True)
     t0 = time.time()
     th.start()
-    th.join(log_every)
+
+    def interval():
+        # never sleep past the deadline: a timeout shorter than
+        # log_every must still fire on time
+        if timeout is None:
+            return log_every
+        return max(0.0, min(log_every, timeout - (time.time() - t0)))
+
+    th.join(interval())
     while th.is_alive():
         waited = time.time() - t0
         if timeout is not None and waited >= timeout:
@@ -52,7 +60,7 @@ def wait_for_devices(log_every: float = 60.0, timeout: float | None = None,
                 "later (or raise SAGAN_DEVICE_TIMEOUT_S)")
         print(f"waiting for device grant ({waited:.0f}s) — the pool may "
               "be busy or holding a stale lease", flush=True, file=stream)
-        th.join(log_every)
+        th.join(interval())
     if box and isinstance(box[0], Exception):
         raise box[0]
     return box[0]

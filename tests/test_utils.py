@@ -136,3 +136,21 @@ def test_wait_for_devices_timeout(monkeypatch, capsys):
     with pytest.raises(TimeoutError, match="stale lease"):
         device_mod.wait_for_devices(log_every=0.05, timeout=0.3)
     assert "waiting for device grant" in capsys.readouterr().out
+
+
+def test_wait_for_devices_timeout_shorter_than_heartbeat(monkeypatch):
+    """SAGAN_DEVICE_TIMEOUT_S below the heartbeat interval must still
+    fire on time — the join must never sleep past the deadline (a
+    timeout of 10 s with the default 60 s heartbeat used to wait 60 s)."""
+    import time
+
+    import jax
+    import pytest
+
+    from sagan_tpu.utils import device as device_mod
+
+    monkeypatch.setattr(jax, "devices", lambda: time.sleep(30))
+    t0 = time.time()
+    with pytest.raises(TimeoutError):
+        device_mod.wait_for_devices(log_every=60.0, timeout=0.3)
+    assert time.time() - t0 < 5.0

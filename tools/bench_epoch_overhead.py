@@ -11,7 +11,10 @@ critical path (fixed-latent sample grid: a G forward dispatch + a
 all while the device pipeline drains), the per-summary metric fetch
 barrier itself, and per-call dispatch overhead.
 
-Variants (one process, same XLA programs, interleave-fair):
+Variants (run sequentially within ONE process — same XLA programs and
+compile cache; NOT interleaved per-epoch, so cross-variant deltas
+smaller than the chip's run-to-run noise are not resolvable.  The
+per-variant steady mean uses epochs >= 2 only):
   full       — the committed artifact behavior (writer on, grids on)
   no_grid    — writer on, scalar summaries on, in-loop image grid off
   no_summary — no writer, summary cadence effectively off (the pure
@@ -64,12 +67,17 @@ def run_variant(name: str, epochs: int, tmp: str) -> list:
         raise ValueError(name)
     tr = Trainer(resolve_config(cfg))
     if name == "no_grid":
+        import jax.numpy as jnp
+
         s = tr.ds_train.img_size
-        # neutralize the in-loop grid: the device-side sampler returns a
-        # host array (device_get passes it through, make_grid is cheap)
-        zeros = np.zeros((tr.fixed_z.shape[0], s, s, 3), np.float32)
+        # neutralize the in-loop grid with a DEVICE zeros array: a host
+        # ndarray here would raise inside _start_host_copies and
+        # permanently disable the async metric copies, silently changing
+        # what this variant measures
+        zeros = jnp.zeros((tr.fixed_z.shape[0], s, s, 3), jnp.float32)
+        host_zeros = np.asarray(zeros)
         tr.sample_images_device = lambda: zeros  # type: ignore[method-assign]
-        tr.sample_images = lambda: zeros  # type: ignore[method-assign]
+        tr.sample_images = lambda: host_zeros  # type: ignore[method-assign]
     rates: list = []
     orig_print = print
 
