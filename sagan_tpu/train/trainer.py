@@ -714,7 +714,12 @@ class Trainer:
                     "different schedule, so enabling both would break "
                     "exact resume against it")
             return
-        nproc = max(1, config.get("process_count", 1))
+        # gate on jax.process_count(), NOT config["process_count"]:
+        # build_device_cache() keys the per-host layout off the former,
+        # and a config that doesn't thread the count through (distributed
+        # init is a public standalone call) must not skip the padded-max
+        # budget check or the model_parallel rejection below
+        nproc = jax.process_count()
         if nproc > 1 and model_parallel_size(self.mesh) > 1:
             if mode is True:
                 raise ValueError("device_cache with model_parallel is "
