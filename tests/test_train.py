@@ -289,6 +289,44 @@ def test_preemption_checkpoint_on_sigterm(data16, tmp_path):
     assert tr2.global_step() == saved_step
 
 
+def test_preemption_writes_pending_deferred_summary(data16, tmp_path):
+    """A preemption must consume the pending deferred summary before
+    checkpointing: every summary point before the preempted call ends
+    up in the event file (the interval is already packed and paid for,
+    and it never recurs after resume)."""
+    tf = pytest.importorskip("tensorflow")
+
+    cfg = tiny_config(data16, num_devices=2, epoch=50,
+                      ckpt_dir=str(tmp_path / "ckpt"),
+                      log_dir=str(tmp_path / "logs"),
+                      summary_step_freq=1, device_cache=False)
+    tr = Trainer(cfg)
+    calls = {"n": 0}
+    orig = tr.train_step
+
+    def wrapped(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            tr._preempted = True  # simulate SIGTERM delivered mid-call
+        return orig(*a, **kw)
+
+    tr.train_step = wrapped
+    tr.train()
+
+    k = tr.steps_per_call
+    assert tr.global_step() == 3 * k          # stopped at the 3rd call
+    logdir = cfg["log_dir"]
+    fname = [f for f in os.listdir(logdir) if "tfevents" in f][0]
+    steps = sorted(
+        ev.step
+        for ev in tf.compat.v1.train.summary_iterator(
+            os.path.join(logdir, fname))
+        for v in ev.summary.value if v.tag == "step/G_loss")
+    # calls 1 and 2 were summary points; call 2's record was pending at
+    # the preempt and must have been drained (this was dropped before)
+    assert steps == [k, 2 * k], steps
+
+
 def test_sn_iters_config_changes_behavior(data16):
     cfg = tiny_config(data16, num_devices=1, sn_iters=5)
     tr = Trainer(cfg)
