@@ -53,13 +53,19 @@ class ImageDataset:
                  seed: int = 0, process_index: int = 0,
                  process_count: int = 1, prefetch_depth: int = 2,
                  use_native: bool | None = None, num_workers: int = 4,
-                 cache_in_memory: bool | None = None):
+                 cache_in_memory: bool | None = None,
+                 verify_crc: bool = True):
         self.files = _find_files(data_path)
         self.meta = load_metadata(data_path)
         if use_native is None:
             from . import native
             use_native = native.available()
         self.use_native = use_native
+        # CRC verification on by default, matching tf.data's
+        # DataLossError contract (the reference's reader,
+        # sagan/dataset.py:12-16): bit-rot must raise, not silently
+        # train on garbage.  Cheap — crc32c is C on both read paths.
+        self.verify_crc = verify_crc
         self.num_workers = max(1, num_workers)
         self.img_size = int(self.meta["img_size"])
         self.num_classes = int(self.meta["num_classes"])
@@ -180,12 +186,12 @@ class ImageDataset:
     def _file_items(self, path: str) -> Iterator[tuple]:
         if self.use_native:
             from .native import native_read_image_examples
-            for imgs, labels in native_read_image_examples(path,
-                                                           self.img_size):
+            for imgs, labels in native_read_image_examples(
+                    path, self.img_size, verify=self.verify_crc):
                 for i in range(imgs.shape[0]):
                     yield imgs[i], int(labels[i])
         else:
-            for rec in read_records(path):
+            for rec in read_records(path, verify=self.verify_crc):
                 yield parse_image_example(rec, self.img_size)
 
     def _shuffled(self, rng: np.random.Generator) -> Iterator[tuple]:
@@ -406,6 +412,7 @@ def get_dataset_and_info(config: dict):
             process_count=process_count,
             num_workers=config.get("data_workers", 4),
             cache_in_memory=config.get("cache_dataset"),
+            verify_crc=config.get("verify_crc", True),
         )
     config.update(ds.meta)
     return ds, config

@@ -66,7 +66,15 @@ try:  # prefer the C implementation when present
     def crc32c(data: bytes) -> int:
         return _gcrc.value(bytes(data))
 except ImportError:  # pragma: no cover
-    crc32c = _crc32c_py
+    def crc32c(data: bytes) -> int:
+        # second fast path: the native reader ships a slice-by-8 crc32c
+        # (bound lazily; the .so builds on first use) — verification
+        # must stay cheap enough to be on by default
+        try:
+            from . import native
+            return native.crc32c(bytes(data))
+        except Exception:
+            return _crc32c_py(data)
 
 
 def masked_crc32c(data: bytes) -> int:

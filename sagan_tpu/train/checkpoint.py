@@ -70,7 +70,9 @@ class CheckpointManager:
         target = jax.tree.map(self._abstract, abstract_state)
         last_err, bad_steps = None, []
         restored = None
+        multi = jax.process_count() > 1
         for step in steps:
+            restored = None
             # Retry once before declaring the step unreadable: a
             # transient failure (network-FS hiccup, momentary OOM during
             # restore) must not cost the newest checkpoint.
@@ -85,6 +87,26 @@ class CheckpointManager:
                         print(f"checkpoint step {step} failed to restore "
                               f"({type(ex).__name__}: {ex}); retrying "
                               f"once", flush=True)
+            if multi:
+                # The restore/fallback DECISION must be collective: if
+                # one host's shard read fails while another's succeeds,
+                # the hosts would otherwise restore different steps
+                # (silently divergent replicated state) and enter
+                # _quarantine's barriers unevenly (deadlock).  Everyone
+                # agrees on the step's fate before moving on.  (A host
+                # failing INSIDE a collective Orbax read while the
+                # others block is an Orbax-level hang this cannot fix —
+                # this coordinates the decision layer above it.)
+                import numpy as np
+                from jax.experimental import multihost_utils
+
+                all_ok = bool(np.asarray(multihost_utils.process_allgather(
+                    np.asarray(restored is not None))).all())
+                if not all_ok and restored is not None:
+                    print(f"checkpoint step {step}: another host failed "
+                          f"to restore — discarding the local restore so "
+                          f"all hosts fall back together", flush=True)
+                    restored = None
             if restored is not None:
                 break
             print(f"checkpoint step {step} is unreadable after retry; "

@@ -126,7 +126,9 @@ def get_extractor(config: dict):
         raise FileNotFoundError(
             "fid_extractor='inception' needs config['inception_weights'] "
             "pointing at a local weights file (no network egress here)")
-    if weights:  # configured but unusable under 'auto': be loud
+    if weights and kind == "auto":  # configured but unusable: be loud
+        # (an explicit fid_extractor='random' with a valid weights file
+        # kept for IS is a deliberate choice, not a fallback — no warning)
         print(f"WARNING: inception_weights={weights!r} does not exist; "
               f"falling back to the random-feature PROXY extractor — the "
               f"resulting FID is not comparable to published numbers",
@@ -150,19 +152,31 @@ def real_stats(dataset, extractor, num_images: int, cache_file: str | None):
     seen = 0
     epoch = 0
     while seen < num_images:
+        seen_before = seen
         for images_u8, _labels in dataset.epoch(epoch):
             x = images_u8.astype(np.float32) * (2.0 / 255.0) - 1.0
             acts.append(extractor(x))
             seen += x.shape[0]
             if seen >= num_images:
                 break
+        if seen == seen_before:
+            # an epoch that yields nothing (per-host records < batch
+            # size) would spin this loop forever
+            raise ValueError(
+                f"dataset produced no batches in epoch {epoch} — cannot "
+                f"accumulate {num_images} real images for FID (dataset "
+                f"smaller than one batch?)")
         epoch += 1
     acts = np.concatenate(acts)[:num_images]
     stats = activation_stats(acts)
     if cache_file:
         os.makedirs(os.path.dirname(cache_file) or ".", exist_ok=True)
-        with open(cache_file, "wb") as f:
+        # atomic publish: concurrent writers (or a crash mid-dump) must
+        # never leave a torn pickle that poisons every later run
+        tmp = f"{cache_file}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
             pickle.dump(stats, f)
+        os.replace(tmp, cache_file)
     return stats
 
 
@@ -200,9 +214,17 @@ def compute_fid(dataset, sample_batch_fn, config, num_images: int = 5000,
     # one fixed extractor (sagan/main.py:48-66) so its `{name}_{size}_{n}`
     # contract was safe; with pluggable extractors a key that omits it
     # would silently reuse proxy-feature statistics for inception FID.
+    # Key also encodes the data view (truncation + shuffle seed — the
+    # first num_images drawn from epoch 0 depend on both) and, in
+    # multi-process runs, the process index: each host's loader serves
+    # a DIFFERENT shard, so per-host stats must not share a cache entry.
+    view = f"d{config.get('data_size', -1)}s{config.get('data_seed', 0)}"
+    if jax.process_count() > 1:
+        view += f"_p{jax.process_index()}"
     cache_file = os.path.join(
         ".cache",
-        f"{name}_{config['img_size']}_{num_images}_{extractor.cache_tag}.pkl")
+        f"{name}_{config['img_size']}_{num_images}_{view}_"
+        f"{extractor.cache_tag}.pkl")
     mu_r, s_r = real_stats(dataset, extractor, num_images, cache_file)
     mu_f, s_f = fake_stats(sample_batch_fn, extractor, num_images,
                            batch_size, jax.random.PRNGKey(seed))

@@ -67,15 +67,28 @@ def get_classifier(config: dict):
     unusable ``inception_weights`` silently falls back to the proxy."""
     weights = config.get("inception_weights")
     if weights:
-        if os.path.exists(weights) and "top_w" in np.load(weights):
+        usable = False
+        if os.path.exists(weights):
+            try:
+                # guarded: a truncated/corrupt npz must take the
+                # documented proxy fallback, not kill the training run
+                # at IS time; close the NpzFile handle either way
+                with np.load(weights) as npz:
+                    usable = "top_w" in npz
+            except Exception as ex:
+                print(f"WARNING: inception_weights={weights!r} is "
+                      f"unreadable ({type(ex).__name__}: {ex})",
+                      flush=True)
+        if usable:
             from .inception import InceptionV3Classifier
             cls = InceptionV3Classifier(weights)
             cls.backend = "inception"
             return cls
-        print(f"WARNING: inception_weights={weights!r} is missing or has "
-              f"no classifier top (top_w); falling back to the "
-              f"random-feature PROXY classifier — the resulting IS is "
-              f"not comparable to published Inception Scores", flush=True)
+        print(f"WARNING: inception_weights={weights!r} is missing, "
+              f"unreadable, or has no classifier top (top_w); falling "
+              f"back to the random-feature PROXY classifier — the "
+              f"resulting IS is not comparable to published Inception "
+              f"Scores", flush=True)
     cls = RandomFeatureClassifier(config["img_size"])
     cls.backend = "random_proxy"
     return cls

@@ -65,6 +65,10 @@ def _encode_histogram_value(tag: str, values: np.ndarray,
     """Summary.Value with a HistogramProto (field 5): min/max/num/sum/
     sum_squares + packed bucket_limit/bucket arrays."""
     x = np.asarray(values, np.float64).ravel()
+    # drop non-finite entries: np.histogram's autodetected range raises
+    # on NaN/inf, which would kill the run at the epoch summary exactly
+    # when a diverged GAN most needs observing
+    x = x[np.isfinite(x)]
     counts, edges = np.histogram(x, bins=bins)
     h = bytearray()
     for fid, val in ((1, x.min() if x.size else 0.0),
@@ -102,8 +106,11 @@ def encode_png(img: np.ndarray) -> bytes:
 class SummaryWriter:
     def __init__(self, logdir: str):
         os.makedirs(logdir, exist_ok=True)
+        # pid suffix (as tf.summary does): two writers on one host in
+        # the same second (multi-process runs, back-to-back launches)
+        # must not open and truncate the same file
         fname = (f"events.out.tfevents.{int(time.time())}."
-                 f"{socket.gethostname()}")
+                 f"{socket.gethostname()}.{os.getpid()}")
         self._w = TFRecordWriter(os.path.join(logdir, fname))
         self._w.write(_encode_event(time.time(),
                                     file_version="brain.Event:2"))

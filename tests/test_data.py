@@ -285,3 +285,35 @@ def test_corrupt_record_propagates_from_prefetch_thread(tmp_path):
                       cache_in_memory=False, use_native=False)
     with pytest.raises(Exception):
         list(ds.epoch(0))
+
+
+def test_bitrot_payload_raises_by_default(tmp_path):
+    """A flipped payload byte (framing lengths intact) must raise on
+    BOTH reader paths with the default config — tf.data raises
+    DataLossError here (the reference's reader, sagan/dataset.py:12-16);
+    silently training on garbage pixels is not acceptable parity."""
+    from sagan_tpu.data.synthetic import make_synthetic_dataset
+
+    d = make_synthetic_dataset(str(tmp_path / "b"), num=16, img_size=8,
+                               num_classes=2)
+    path = os.path.join(d, "data.tfrecords")
+    with open(path, "r+b") as f:
+        f.seek(12 + 40)              # inside the first record's payload
+        b = f.read(1)
+        f.seek(-1, os.SEEK_CUR)
+        f.write(bytes([b[0] ^ 0xFF]))
+
+    for use_native in (False, True):
+        if use_native:
+            from sagan_tpu.data import native
+            if not native.available():
+                continue
+        ds = ImageDataset(d, batch_size=4, shuffle_buffer=1,
+                          cache_in_memory=False, use_native=use_native)
+        with pytest.raises(Exception, match="(?i)crc|corrupt"):
+            list(ds.epoch(0))
+        # explicit opt-out still reads (the old behavior, for salvage)
+        ds2 = ImageDataset(d, batch_size=4, shuffle_buffer=1,
+                           cache_in_memory=False, use_native=use_native,
+                           verify_crc=False)
+        assert len(list(ds2.epoch(0))) == 4

@@ -88,8 +88,10 @@ def test_compute_fid_smaller_for_matching_distribution(tmp_path, monkeypatch):
     fid_noise = compute_fid(ds, noise_sampler, config2, num_images=96,
                             batch_size=32)
     assert fid_good < fid_noise * 0.5
-    # cache key includes the extractor identity (kind+dim+seed)
-    assert (tmp_path / ".cache" / "synthA_16_96_random64s42.pkl").exists()
+    # cache key includes the extractor identity (kind+dim+seed) and the
+    # data view (truncation + shuffle seed)
+    assert (tmp_path / ".cache"
+            / "synthA_16_96_d-1s0_random64s42.pkl").exists()
 
 
 def test_fid_cache_keyed_by_extractor(tmp_path, monkeypatch):
