@@ -23,6 +23,7 @@ ReLU → spatial sum-pool → SN-Dense(1) + SN-Embedding projection
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..nn.attention import SelfAttention
@@ -31,11 +32,7 @@ from ..nn.layers import (BatchNorm, ConditionalBatchNorm, Conv, ConvTranspose,
 from ..nn.module import Ctx, Module
 from .vanilla import _power
 
-_relu = jnp.maximum
-
-
-def relu(x):
-    return _relu(x, 0)
+relu = jax.nn.relu
 
 
 class ResUpBlock(Module):
@@ -160,7 +157,8 @@ class ResGenerator(Module):
     def forward(self, cx: Ctx, z, labels=None):
         x = z.astype(self.dtype)
         if self.use_label:
-            one_hot = jnp.eye(self.num_classes, dtype=self.dtype)[labels]
+            one_hot = jax.nn.one_hot(labels, self.num_classes,
+                                     dtype=self.dtype)
             x = jnp.concatenate([x, one_hot], axis=-1)
         x = cx.call(self.stem, x)
         x = x.reshape(x.shape[0], 4, 4, self.gf0)
@@ -237,4 +235,8 @@ class ResDiscriminator(Module):
             emb = cx.call(self.embed, labels).astype(jnp.float32)
             proj = jnp.sum(feat * emb, axis=1, keepdims=True)
             return logit.astype(jnp.float32) + proj
-        return cx.call(self.head_conv, relu(x)).astype(jnp.float32)
+        # NO relu before the patch head: the reference applies
+        # Conv2D(1,4,1) directly to the final block's (pre-activation
+        # residual) output (sagan/models/discriminator.py:95); only the
+        # projection path above relu's before pooling (:84)
+        return cx.call(self.head_conv, x).astype(jnp.float32)

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 from ..nn.attention import SelfAttention
@@ -98,7 +99,8 @@ class Generator(Module):
     def forward(self, cx: Ctx, z, labels=None):
         x = z.astype(self.dtype)
         if self.use_label:
-            one_hot = jnp.eye(self.num_classes, dtype=self.dtype)[labels]
+            one_hot = jax.nn.one_hot(labels, self.num_classes,
+                                     dtype=self.dtype)
             x = jnp.concatenate([x, one_hot], axis=-1)
         x = cx.call(self.stem, x)
         x = x.reshape(x.shape[0], 4, 4, self.gf0)

@@ -1,15 +1,24 @@
 """GAN losses: hinge and binary cross-entropy.
 
-Semantics follow /root/reference/sagan/main.py:20-37, reduced to *local
-means*; under data parallelism the train step ``lax.pmean``s the scalar
-loss/gradients, which with equal per-replica shards equals the reference's
-sum-then-divide-by-global-batch scaling
-(/root/reference/sagan/main.py:184,216-220).
+Per-example semantics follow /root/reference/sagan/main.py:20-37,
+reduced to *local means*; under data parallelism the train step
+``lax.pmean``s the scalar loss/gradients, so the optimized objective is
+the exact GLOBAL batch mean.
 
-Deviation from the reference (deliberate): the BCE variant treats D's
-output as a *logit* (the reference feeds raw scores into Keras
-``binary_crossentropy`` with ``from_logits=False``, i.e. interprets
-unbounded scores as probabilities — numerically broken for real use).
+Deviations from the reference (deliberate, see PARITY.md):
+  * Overall scale: the reference optimizes
+    ``reduce_mean(local) * (1/global_batch_size)``
+    (/root/reference/sagan/main.py:184,216) — an extra constant 1/B_g
+    on top of the mean, making its gradients per-replica-batch-times
+    smaller than the plain global mean's.  We optimize the plain global
+    mean (the standard formulation; loss values and grad norms are then
+    batch-size-independent).  With Adam(beta1=0) a constant gradient
+    scale only enters through eps=1e-7, so training behavior matches;
+    absolute grad-norm summaries are NOT comparable to the reference's.
+  * The BCE variant treats D's output as a *logit* (the reference feeds
+    raw scores into Keras ``binary_crossentropy`` with
+    ``from_logits=False``, i.e. interprets unbounded scores as
+    probabilities — numerically broken for real use).
 """
 
 from __future__ import annotations

@@ -45,6 +45,13 @@ def make_mesh(num_devices: int | None = None, devices=None,
                 raise ValueError(
                     f"requested {num_devices} devices, have {len(devices)}")
             devices = devices[:num_devices]
+    elif num_devices is not None and num_devices != len(devices):
+        # both given and disagreeing: refuse rather than silently build
+        # a mesh of the wrong width (per-replica batch math downstream
+        # would be wrong)
+        raise ValueError(
+            f"num_devices={num_devices} contradicts the {len(devices)} "
+            f"explicitly passed devices")
     n = len(devices)
     if model_parallel <= 1:
         return Mesh(np.asarray(devices), (DATA_AXIS,))

@@ -7,7 +7,14 @@ Reference semantics (/root/reference/sagan/main.py:111-120):
     optimizer steps, D every ``steps_per_epoch * update_ratio`` (D takes
     ``update_ratio`` optimizer steps per global step, so both decay once
     per epoch).
-TF-Keras Adam defaults are matched: beta_2=0.999, eps=1e-7.
+TF-Keras Adam defaults are matched: beta_2=0.999, eps=1e-7.  One
+update-rule difference (documented, not replicated): TF applies eps to
+the *uncorrected* sqrt(v) with a bias-corrected lr — an effective
+eps/sqrt(1-beta2^t) against v_hat, ~32x ours at step 1, converging to
+eps — while optax adds eps to sqrt(v_hat).  At eps=1e-7 this only
+touches parameters whose second moment is itself at eps scale, and
+decays within the first epochs; not worth a custom transform
+(PARITY.md "Documented semantic deviations").
 """
 
 from __future__ import annotations
