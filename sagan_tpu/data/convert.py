@@ -57,10 +57,14 @@ def _gather_imagenet(path: str, n_class: int):
 
 
 def _gather_flat(path: str):
+    # match extensions case-insensitively (IMG_0001.JPG is a common
+    # camera-export convention on case-sensitive filesystems)
+    exts = {".jpg", ".jpeg", ".png", ".webp"}
     files = []
-    for ext in ("*.jpg", "*.jpeg", "*.png", "*.webp", "*.JPEG"):
-        files.extend(glob.glob(os.path.join(path, "data", ext)))
-        files.extend(glob.glob(os.path.join(path, ext)))
+    for d in (os.path.join(path, "data"), path):
+        for f in glob.glob(os.path.join(d, "*")):
+            if os.path.splitext(f)[1].lower() in exts:
+                files.append(f)
     return [(f, 0) for f in sorted(set(files))], 1
 
 

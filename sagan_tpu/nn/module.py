@@ -83,7 +83,11 @@ class Ctx:
     def make_rng(self) -> jax.Array:
         if self.rng is None:
             raise ValueError("no rng provided to apply()")
-        return _fold(self.rng, "/".join(self.path) or "root")
+        # per-call counter: two make_rng() calls in one forward must not
+        # return identical keys (correlated dropout/noise otherwise)
+        n = getattr(self, "_rng_calls", 0)
+        self._rng_calls = n + 1
+        return _fold(self.rng, f"{'/'.join(self.path) or 'root'}#{n}")
 
     # -- children ----------------------------------------------------------
     def call(self, child: "Module", *args, **kwargs):
@@ -157,6 +161,13 @@ class Module:
         for name, spec in self._aspecs.items():
             aux[name] = spec.init(_fold(key, "aux:" + name), spec.shape, spec.dtype)
         for name, child in self._children.items():
+            if name in params or name in aux:
+                # a child silently overwriting a same-named leaf would
+                # surface as a far-away type error (cx.param returning a
+                # dict) or a wrong checkpoint tree
+                raise ValueError(
+                    f"{type(self).__name__}: child module {name!r} "
+                    f"collides with a param/aux leaf of the same name")
             sub = child.init(_fold(key, name))
             if sub["params"]:
                 params[name] = sub["params"]

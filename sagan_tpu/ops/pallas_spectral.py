@@ -112,6 +112,11 @@ def spectral_normalize_fused(w: jax.Array, u: jax.Array, n_iter: int = 1,
     """Drop-in replacement for ops.spectral.spectral_normalize backed by
     the fused Pallas kernel.  Falls back to the XLA path for weights too
     large for VMEM residence."""
+    if n_iter < 1:
+        # same guard as ops.spectral.power_iterate: zero iterations
+        # would yield sigma=0 and a w/eps blow-up
+        raise ValueError(f"spectral_normalize_fused needs n_iter >= 1, "
+                         f"got {n_iter}")
     if w.size * 8 > VMEM_LIMIT_BYTES:
         from .spectral import spectral_normalize_xla
         return spectral_normalize_xla(w, u, n_iter=n_iter, eps=eps)

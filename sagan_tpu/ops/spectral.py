@@ -45,6 +45,12 @@ def power_iterate(w_mat: jax.Array, u: jax.Array, n_iter: int = 1):
       (sigma, u_new, v_new): leading singular value estimate and updated
       vectors; u_new/v_new carry no gradient.
     """
+    if n_iter < 1:
+        # fori_loop(0, 0) would leave v = zeros -> sigma = 0 -> the
+        # caller divides by eps, a ~1e12x weight blow-up with no error
+        # pointing at the config (resolve_config validates the config
+        # path; this guards direct library users)
+        raise ValueError(f"power_iterate needs n_iter >= 1, got {n_iter}")
     u = jax.lax.stop_gradient(u)
     w = jax.lax.stop_gradient(w_mat)
     hi = jax.lax.Precision.HIGHEST

@@ -30,6 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from ..ops.util import matmul_precision
+
 
 # --------------------------------------------------------------------------
 # forward graph
@@ -49,12 +51,24 @@ class _P:
         return p
 
 
+def _fingerprint(path: str) -> str:
+    """First-MB sha1 of the weights file — keys FID/IS stat caches to
+    the weight bytes (shared by both extractor classes so their tag
+    schemes cannot drift apart)."""
+    import hashlib
+    with open(path, "rb") as f:
+        return hashlib.sha1(f.read(1 << 20)).hexdigest()[:8]
+
+
 def _conv_bn(p: _P, x, strides=(1, 1), padding="SAME"):
     unit = p.next()
     w = unit["kernel"]
     x = lax.conv_general_dilated(
         x, w.astype(x.dtype), strides, padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        # fp32 features must not silently demote to bf16 passes on this
+        # TPU toolchain (CLAUDE.md) — FID/IS features feed statistics
+        precision=matmul_precision(x.dtype))
     x = (x - unit["mean"]) * lax.rsqrt(unit["var"] + 1e-3) + unit["beta"]
     return jax.nn.relu(x)
 
@@ -247,14 +261,13 @@ class InceptionV3Features:
         self.resize_to = resize_to
         # cache identity: extractor kind + a fingerprint of the weights
         # file, so FID stat caches keyed on this tag never mix weights
-        import hashlib
-        with open(weights_path, "rb") as f:
-            digest = hashlib.sha1(f.read(1 << 20)).hexdigest()[:8]
-        self.cache_tag = f"inception{resize_to}_{digest}"
+        self.cache_tag = (
+            f"inception{resize_to}_{_fingerprint(weights_path)}")
 
         @jax.jit
         def fwd(params, x):
-            if resize_to and x.shape[1] != resize_to:
+            if resize_to and (x.shape[1] != resize_to
+                              or x.shape[2] != resize_to):
                 x = jax.image.resize(
                     x, (x.shape[0], resize_to, resize_to, 3), "bilinear")
             return inception_v3_features(params, x)
@@ -283,19 +296,20 @@ class InceptionV3Classifier:
                 f"{weights_path} has no classifier top — re-export with "
                 f"export_weights_npz(include_top=True)")
         top = (jnp.asarray(data["top_w"]), jnp.asarray(data["top_b"]))
-        import hashlib
-        with open(weights_path, "rb") as f:
-            digest = hashlib.sha1(f.read(1 << 20)).hexdigest()[:8]
-        self.cache_tag = f"inception_cls{resize_to}_{digest}"
+        self.cache_tag = (
+            f"inception_cls{resize_to}_{_fingerprint(weights_path)}")
 
         @jax.jit
         def fwd(params, top, x):
-            if resize_to and x.shape[1] != resize_to:
+            if resize_to and (x.shape[1] != resize_to
+                              or x.shape[2] != resize_to):
                 x = jax.image.resize(
                     x, (x.shape[0], resize_to, resize_to, 3), "bilinear")
             feats = inception_v3_features(params, x)
             w, b = top
-            return jax.nn.softmax(feats @ w + b, axis=-1)
+            logits = jnp.dot(feats, w,
+                             precision=matmul_precision(feats.dtype)) + b
+            return jax.nn.softmax(logits, axis=-1)
 
         self._fwd = functools.partial(fwd, self.params, top)
 
