@@ -55,9 +55,11 @@ class Ctx:
       (e.g. BatchNorm moment ``pmean``), or None on a single device.
     """
 
-    __slots__ = ("module", "params", "aux", "updates", "train", "axis", "rng", "path")
+    __slots__ = ("module", "params", "aux", "updates", "train", "axis",
+                 "rng", "path", "_rng_calls")
 
     def __init__(self, module, params, aux, updates, train, axis, rng, path):
+        self._rng_calls = 0
         self.module = module
         self.params = params
         self.aux = aux
@@ -85,7 +87,7 @@ class Ctx:
             raise ValueError("no rng provided to apply()")
         # per-call counter: two make_rng() calls in one forward must not
         # return identical keys (correlated dropout/noise otherwise)
-        n = getattr(self, "_rng_calls", 0)
+        n = self._rng_calls
         self._rng_calls = n + 1
         return _fold(self.rng, f"{'/'.join(self.path) or 'root'}#{n}")
 

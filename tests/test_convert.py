@@ -58,3 +58,27 @@ def test_lsun_layout_round_trip(tmp_path):
     imgs, labels = next(iter(ds.epoch(0)))
     assert imgs.shape == (6, 16, 16, 3)
     assert set(labels.tolist()) == {0}   # LSUN: everything label 0
+
+
+def test_flat_layout_uppercase_extensions(tmp_path):
+    """IMG_0001.JPG-style camera exports must be found by the flat
+    gatherer (extensions matched case-insensitively)."""
+    import numpy as np
+    from PIL import Image
+
+    from sagan_tpu.data.convert import _gather_flat
+
+    root = tmp_path / "flat"
+    root.mkdir()
+    rng = np.random.default_rng(0)
+    for name in ("IMG_0001.JPG", "b.PNG", "c.jpeg", "notes.txt"):
+        p = root / name
+        if name.endswith(".txt"):
+            p.write_text("skip me")
+        else:
+            Image.fromarray(
+                rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)).save(p)
+    files, n_classes = _gather_flat(str(root))
+    assert n_classes == 1
+    assert sorted(os.path.basename(f) for f, _ in files) == \
+        ["IMG_0001.JPG", "b.PNG", "c.jpeg"]

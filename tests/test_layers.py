@@ -155,3 +155,42 @@ def test_self_attention_nonidentity_with_sigma():
     x = jax.random.normal(KEY, (2, 8, 8, 16))
     y, _ = attn(v, x)
     assert not np.allclose(np.asarray(y), np.asarray(x))
+
+
+def test_make_rng_distinct_per_call():
+    """Two make_rng() calls in one forward must yield different keys
+    (identical keys silently correlate dropout/noise sites)."""
+    import jax
+
+    from sagan_tpu.nn.module import Ctx, Module
+
+    class TwoRng(Module):
+        def forward(self, cx: Ctx):
+            return cx.make_rng(), cx.make_rng()
+
+    m = TwoRng()
+    variables = m.init(jax.random.PRNGKey(0))
+    (k1, k2), _aux = m(variables, rng=jax.random.PRNGKey(7))
+    assert not np.array_equal(np.asarray(k1), np.asarray(k2))
+
+
+def test_module_child_leaf_name_collision_raises():
+    """A child module silently overwriting a same-named param leaf used
+    to surface as a far-away type error; init must refuse."""
+    import jax
+    import pytest
+
+    from sagan_tpu.nn.layers import Dense
+    from sagan_tpu.nn.module import Module
+
+    class Clash(Module):
+        def __init__(self):
+            super().__init__()
+            self.param_spec("head", (4,), init=lambda k, s, d: jnp.zeros(s))
+            self.head = Dense(4, 2)
+
+        def forward(self, cx):  # pragma: no cover
+            return None
+
+    with pytest.raises(ValueError, match="collides"):
+        Clash().init(jax.random.PRNGKey(0))

@@ -76,3 +76,19 @@ def test_shapes_and_dtype_preserved(shape):
     w_bar, u_new = spectral_normalize(w, u)
     assert w_bar.shape == shape and w_bar.dtype == w.dtype
     assert u_new.shape == (shape[-1],)
+
+
+def test_zero_iterations_rejected():
+    """n_iter=0 used to silently produce sigma=0 -> w/eps (a ~1e12x
+    blow-up); both backends must refuse instead."""
+    import pytest
+
+    from sagan_tpu.ops.pallas_spectral import spectral_normalize_fused
+    from sagan_tpu.ops.spectral import spectral_normalize
+
+    w = jnp.ones((8, 4))
+    u = jnp.ones((4,))
+    with pytest.raises(ValueError, match="n_iter"):
+        spectral_normalize(w, u, n_iter=0)
+    with pytest.raises(ValueError, match="n_iter"):
+        spectral_normalize_fused(w, u, n_iter=0, interpret=True)
