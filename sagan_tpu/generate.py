@@ -95,12 +95,16 @@ def restore_eval_state(config: dict, step: int | None = None):
 from .utils.trees import flatten_with_paths as _flat_with_paths
 
 
-def export_generator_npz(gen, eval_vars, out_path: str) -> str:
+def export_generator_npz(gen, eval_vars, out_path: str,
+                         config: dict | None = None) -> str:
     """Write the evaluation generator's variables to one ``.npz``.
 
     Deployment format: flat ``{params,aux}/<tree/path>`` arrays — no
     Orbax, no optimizer state, no discriminator; loadable anywhere with
-    numpy + this module (``load_generator_npz``)."""
+    numpy + this module (``load_generator_npz``).  When ``config`` is
+    given, the model geometry (``meta/img_size`` etc.) is embedded so
+    the serving box needs neither the dataset nor its
+    ``metadata.pickle``."""
     if not out_path.endswith(".npz"):
         out_path += ".npz"   # np.savez appends it anyway; return truth
     arrays = {}
@@ -108,6 +112,10 @@ def export_generator_npz(gen, eval_vars, out_path: str) -> str:
         keys, leaves, _ = _flat_with_paths(eval_vars[section])
         for k, leaf in zip(keys, leaves):
             arrays[f"{section}/{k}"] = np.asarray(leaf)
+    if config:
+        for k in ("img_size", "num_classes", "z_dim"):
+            if k in config:
+                arrays[f"meta/{k}"] = np.asarray(int(config[k]))
     np.savez(out_path, **arrays)
     return out_path
 
@@ -199,25 +207,43 @@ def main(argv=None):
     if "img_size" not in config or "num_classes" not in config:
         # model geometry lives in the dataset metadata, merged into the
         # config at train time (/root/reference/sagan/dataset.py:134-136)
-        from .data.tfrecord import load_metadata
-        try:
-            config.update(load_metadata(config["data_path"]))
-        except FileNotFoundError:
-            raise SystemExit(
-                f"config lacks img_size/num_classes and no "
-                f"metadata.pickle under {config['data_path']!r}")
+        # — but an exported npz embeds it (meta/*), so the serving path
+        # (config + one weights file) needs no dataset on the box
+        filled = False
+        if args.weights and os.path.exists(args.weights):
+            with np.load(args.weights) as data:
+                for k in ("img_size", "num_classes"):
+                    if f"meta/{k}" in data:
+                        config.setdefault(k, int(data[f"meta/{k}"]))
+            filled = "img_size" in config and "num_classes" in config
+        if not filled:
+            from .data.tfrecord import load_metadata
+            try:
+                config.update(load_metadata(config["data_path"]))
+            except FileNotFoundError:
+                raise SystemExit(
+                    f"config lacks img_size/num_classes and no "
+                    f"metadata.pickle under {config['data_path']!r}")
+    num_classes = max(1, config.get("num_classes", 1))
+    if args.class_id >= num_classes:
+        # jnp.take clamps out-of-range ids under jit — every sample
+        # would silently come from the LAST class instead of erroring
+        raise SystemExit(
+            f"--class_id {args.class_id} out of range for "
+            f"num_classes={num_classes}")
     if args.weights:
         gen, eval_vars = load_generator_npz(config, args.weights)
     else:
         gen, eval_vars = restore_eval_state(config, step=args.step)
     if args.export:
-        path = export_generator_npz(gen, eval_vars, args.export)
+        path = export_generator_npz(gen, eval_vars, args.export,
+                                    config=config)
         print(f"exported generator weights: {path}")
         return [path]
     imgs = sample_images(
         gen, eval_vars, num=args.num, batch=args.batch,
         z_dim=config["z_dim"],
-        num_classes=max(1, config.get("num_classes", 1)),
+        num_classes=num_classes,
         seed=args.seed, truncation=args.truncation, class_id=args.class_id)
 
     out_dir = args.out or os.path.join(
@@ -230,8 +256,8 @@ def main(argv=None):
         written.append(path)
     if args.format in ("npz", "both"):
         path = os.path.join(out_dir, f"samples_seed{args.seed}.npz")
-        u8 = np.clip(imgs * 127.5 + 127.5, 0, 255).astype(np.uint8)
-        np.savez_compressed(path, images=u8)
+        from .utils.images import denormalize
+        np.savez_compressed(path, images=denormalize(imgs))
         written.append(path)
     print(f"wrote {args.num} samples: " + ", ".join(written))
     return written

@@ -25,6 +25,11 @@ def main(argv=None):
             config.get("data_size", -1) if config.get("data_size", -1) > 0
             else 10**9, 2000)
         config["epoch"] = min(config.get("epoch", 1), 2)
+        # no checkpoints under --debug (the reference guards its save on
+        # `not config['debug']`, sagan/main.py:284): a truncated smoke
+        # run must never write into — or later be restored by — the
+        # production checkpoint directory
+        config["ckpt_dir"] = None
     config = resolve_config(config)
 
     from pprint import pprint

@@ -1069,6 +1069,13 @@ class Trainer:
                                                           labels)
                 count += 1
                 host_step += self.steps_per_call
+                if tracer and epoch == start_epoch:
+                    # keep the trace barrier pointing at the NEWEST
+                    # dispatched call: draining through it pins the
+                    # trace window to executed steps, not dispatch
+                    # indices (device_get is the only true barrier here)
+                    tracer.barrier = (
+                        lambda m=metrics: jax.device_get(m["G_loss"]))
                 if self._preempted:
                     if pending_summary is not None:
                         # already packed and copying — write it so the

@@ -19,12 +19,18 @@ import runpy
 
 def get_parameters(argv=None):
     """argparse surface of the reference
-    (/root/reference/sagan/utils/parameters.py:3-14)."""
+    (/root/reference/sagan/utils/parameters.py:3-14): unknown flags are
+    tolerated (the reference uses ``parse_known_args``, so wrapper
+    scripts passing extra flags keep working).  Deviation: the
+    reference's default ``--config_path`` points at a file that does
+    not exist in its own tree ('example_configs/self-attention_bs_church.'),
+    so the flag is required here instead of defaulting to a crash."""
     ap = argparse.ArgumentParser()
     ap.add_argument("--config_path", type=str, required=True,
                     help="python file defining a `config` dict")
     ap.add_argument("--debug", action="store_true")
-    return ap.parse_args(argv)
+    args, _unknown = ap.parse_known_args(argv)
+    return args
 
 
 def load_config_file(path: str) -> dict:

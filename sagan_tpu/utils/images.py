@@ -1,8 +1,10 @@
 """Sample-image grid utilities.
 
 Replaces the matplotlib gridspec path
-(/root/reference/sagan/main.py:300-320) with direct PNG assembly —
-no figure machinery, byte-identical pixels.
+(/root/reference/sagan/main.py:300-320) with direct PNG assembly — no
+figure machinery; each tile's pixels are the exact de-normalized
+sample values (the reference's matplotlib render adds margins and
+resampling, so whole-file byte identity is not the claim).
 """
 
 from __future__ import annotations
@@ -22,15 +24,17 @@ def denormalize(x: np.ndarray) -> np.ndarray:
 
 def make_grid(images: np.ndarray, pad: int = 2) -> np.ndarray:
     """[N, H, W, 3] float in [-1,1] → one uint8 grid image,
-    ceil(sqrt(N)) per side (reference: n = sqrt(num_sample),
-    sagan/main.py:304-308)."""
+    ceil(sqrt(N)) per side, filled column-major like the reference
+    (sample i at row i%n, col i//n — sagan/main.py:312; ceil instead of
+    the reference's floor-sqrt so a non-square N still shows every
+    sample)."""
     n, h, w, c = images.shape
     side = int(np.ceil(np.sqrt(n)))
     grid = np.zeros((side * (h + pad) - pad, side * (w + pad) - pad, c),
                     np.uint8)
     u8 = denormalize(images)
     for i in range(n):
-        r, col = divmod(i, side)
+        col, r = divmod(i, side)
         grid[r * (h + pad):r * (h + pad) + h,
              col * (w + pad):col * (w + pad) + w] = u8[i]
     return grid

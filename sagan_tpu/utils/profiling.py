@@ -31,22 +31,37 @@ class TraceWindow:
     """Trace steps [start, stop) of a loop: call ``step(i)`` with the
     running step index; the trace starts when i reaches ``start`` and
     stops at ``stop``.  ``close()`` (idempotent) stops a still-open
-    trace — call it on early exit (preemption)."""
+    trace — call it on early exit (preemption).
 
-    def __init__(self, logdir: str, start: int = 10, stop: int = 20):
+    ``barrier`` (an attribute the driving loop keeps current) is called
+    before opening and closing the trace: on this backend dispatch runs
+    up to 300× ahead of execution, so without a fetch-forced drain the
+    window would delimit *dispatch* indices and capture an arbitrary
+    slice of device activity instead of the named steps.  The trainer
+    sets it to a device_get of the newest dispatched call's metrics."""
+
+    def __init__(self, logdir: str, start: int = 10, stop: int = 20,
+                 barrier=None):
         self.logdir = logdir
         self.start, self.stop = start, stop
+        self.barrier = barrier
         self._active = False
 
     def step(self, i: int) -> None:
         if i == self.start and not self._active:
+            if self.barrier is not None:
+                self.barrier()   # drain: steps < start are off the trace
             jax.profiler.start_trace(self.logdir)
             self._active = True
-        elif i == self.stop and self._active:
+        elif i >= self.stop and self._active:
+            # >= : a loop that skips past stop (steps_per_call strides,
+            # resume skips) must still close the window
             self.close()
 
     def close(self) -> None:
         if self._active:
+            if self.barrier is not None:
+                self.barrier()   # drain: steps [start, stop) have RUN
             jax.profiler.stop_trace()
             self._active = False
 

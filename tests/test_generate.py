@@ -120,6 +120,27 @@ def test_export_weights_round_trip(tmp_path):
     with pytest.raises((KeyError, ValueError)):
         generate.load_generator_npz(dict(cfg, gf_dim=16), npz)
 
+    # serving-box contract: config WITHOUT img_size/num_classes (no
+    # metadata-merge) + the npz alone must sample — the export embeds
+    # the geometry, so no dataset/metadata.pickle exists on the box
+    bare = {k: v for k, v in cfg.items()
+            if k not in ("img_size", "num_classes", "num_records")}
+    bare["data_path"] = str(tmp_path / "nonexistent")
+    bare_file = tmp_path / "bare_cfg.py"
+    bare_file.write_text(f"config = {bare!r}\n")
+    out = generate.main([
+        "--config_path", str(bare_file), "--weights", npz,
+        "--num", "4", "--batch", "4",
+        "--out", str(tmp_path / "serve_out"), "--format", "npz"])
+    assert len(out) == 1 and os.path.exists(out[0])
+
+    # out-of-range --class_id errors instead of silently clamping
+    with pytest.raises(SystemExit, match="class_id"):
+        generate.main([
+            "--config_path", str(bare_file), "--weights", npz,
+            "--class_id", "207", "--num", "4", "--batch", "4",
+            "--out", str(tmp_path / "serve_out2")])
+
 
 def test_generate_specific_step(tmp_path):
     """--step restores a pinned checkpoint; a missing step raises."""
