@@ -24,12 +24,47 @@ def wait_for_devices(log_every: float = 60.0, timeout: float | None = None,
     ``TimeoutError`` instead of waiting forever; default is unbounded
     (training jobs should survive a busy pool).  ``stream`` redirects
     the heartbeat (bench.py sends it to stderr — its stdout is reserved
-    for the driver's one JSON line)."""
+    for the driver's one JSON line).
+
+    Acquisition retries to the deadline: ``jax.devices()`` blocking
+    inside the backend's claim-retry loop is the common wedge, but a
+    *raising* probe (e.g. a transient tunnel error) is retried too —
+    a single early exception must not burn the whole budget
+    (BENCH_r03.json lesson: the one failure mode left unretried is the
+    one that fires)."""
     import jax
 
     if timeout is None:
         t = os.environ.get("SAGAN_DEVICE_TIMEOUT_S")
         timeout = float(t) if t else None
+
+    t0 = time.time()
+
+    def remaining():
+        return None if timeout is None else timeout - (time.time() - t0)
+
+    attempt = 0
+    while True:
+        attempt += 1
+        result = _probe_devices(log_every, t0, timeout, stream)
+        if not isinstance(result, Exception):
+            return result
+        left = remaining()
+        if left is not None and left <= 15.0:
+            raise result
+        print(f"device probe attempt {attempt} failed ({result!r}) — "
+              "retrying in 15s", flush=True, file=stream)
+        time.sleep(15.0)
+        _reset_backend_cache()
+
+
+def _probe_devices(log_every, t0, timeout, stream):
+    """One ``jax.devices()`` call in a daemon thread with heartbeat;
+    returns the device list, or the exception it raised.  Raises
+    ``TimeoutError`` when the deadline passes while the probe is still
+    blocked (the stale-lease wedge — the thread is left to die with the
+    process; the claim loop holds no local state worth unwinding)."""
+    import jax
 
     box: list = []
 
@@ -40,7 +75,6 @@ def wait_for_devices(log_every: float = 60.0, timeout: float | None = None,
             box.append(e)
 
     th = threading.Thread(target=probe, daemon=True)
-    t0 = time.time()
     th.start()
 
     def interval():
@@ -61,6 +95,25 @@ def wait_for_devices(log_every: float = 60.0, timeout: float | None = None,
         print(f"waiting for device grant ({waited:.0f}s) — the pool may "
               "be busy or holding a stale lease", flush=True, file=stream)
         th.join(interval())
-    if box and isinstance(box[0], Exception):
-        raise box[0]
     return box[0]
+
+
+def _reset_backend_cache():
+    """Best-effort: clear jax's cached backend-init failure so a retry
+    actually re-probes instead of replaying the cached exception.
+    Everything in here is defensive — a missing/renamed internal must
+    never kill the acquisition retry loop (an eagerly-evaluated
+    ``jax.extend`` attribute lookup did exactly that once)."""
+    try:
+        import jax.extend.backend as _jeb
+
+        _jeb.clear_backends()
+        return
+    except Exception:
+        pass
+    try:
+        import jax
+
+        jax.clear_backends()
+    except Exception:
+        pass
