@@ -61,16 +61,25 @@ def main(argv=None):
     fid_n = args.num_images or config.get("fid_num_images", 5000)
     # Label the backend ACTUALLY instantiated (get_extractor falls back
     # to the random-feature proxy when the configured weights are
-    # missing/unusable — config intent must not be reported as fact)
+    # missing/unusable — config intent must not be reported as fact),
+    # and name the metric KEY by it: a proxy number under the key "fid"
+    # reads as real FID to anyone skimming the JSON, so the proxy
+    # extractor reports "proxy_fid"/"proxy_inception_score" instead.
     extractor = get_extractor(config)
+    real_fid = extractor.backend == "inception"
     result = {
         "step": step,
         "ema": trainer.state.ema_g is not None,
         "num_images": fid_n,
         "extractor": extractor.backend,
     }
-    result["fid"] = float(compute_fid_for_trainer(trainer, num_images=fid_n,
-                                                  extractor=extractor))
+    fid_key = "fid" if real_fid else "proxy_fid"
+    result[fid_key] = float(compute_fid_for_trainer(
+        trainer, num_images=fid_n, extractor=extractor))
+    if not real_fid:
+        result["proxy_fid_note"] = ("random-feature proxy: stable "
+                                    "regression signal, NOT comparable "
+                                    "to published FID numbers")
     if not args.no_is:
         from .train.iscore import get_classifier, inception_score_for_trainer
         # --num_images overrides; otherwise the IS sample count follows
@@ -82,8 +91,10 @@ def main(argv=None):
             trainer, num_images=is_n, classifier=classifier)
         result["is_num_images"] = is_n
         result["is_classifier"] = classifier.backend
-        result["inception_score"] = round(float(is_mean), 4)
-        result["inception_score_std"] = round(float(is_std), 4)
+        is_key = ("inception_score" if classifier.backend == "inception"
+                  else "proxy_inception_score")
+        result[is_key] = round(float(is_mean), 4)
+        result[is_key + "_std"] = round(float(is_std), 4)
     print(json.dumps(result))
     return result
 

@@ -180,8 +180,12 @@ class Embedding(Module):
 
 
 def _batch_moments(x, axis_name):
-    """fp32 batch+spatial moments; pmean'd over the data mesh axis when
-    present (cross-replica BN — reference lacks this, SURVEY.md §2.2)."""
+    """fp32 batch+spatial (mean, mean-of-squares); pmean'd over the data
+    mesh axis when present (cross-replica BN — reference lacks this,
+    SURVEY.md §2.2).  Returning E[x²] rather than the variance keeps the
+    moments *linear* in the data, so micro-batch moments average exactly
+    to full-batch moments (the grad-accumulation exactness relies on
+    this; ``_var_from_moments`` recovers the variance)."""
     x32 = x.astype(jnp.float32)
     reduce_axes = tuple(range(x.ndim - 1))
     mean = jnp.mean(x32, axis=reduce_axes)
@@ -189,8 +193,11 @@ def _batch_moments(x, axis_name):
     if axis_name is not None:
         mean = lax.pmean(mean, axis_name)
         mean_sq = lax.pmean(mean_sq, axis_name)
-    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
-    return mean, var
+    return mean, mean_sq
+
+
+def _var_from_moments(mean, mean_sq):
+    return jnp.maximum(mean_sq - jnp.square(mean), 0.0)
 
 
 class BatchNorm(Module):
@@ -240,15 +247,86 @@ class ConditionalBatchNorm(Module):
 
 def _bn_core(cx: Ctx, layer, x, gamma, beta):
     if cx.train:
-        mean, var = _batch_moments(x, cx.axis)
-        m = layer.momentum
-        cx.put_aux("mean", m * cx.get_aux("mean") + (1.0 - m) * mean)
-        cx.put_aux("var", m * cx.get_aux("var") + (1.0 - m) * var)
+        mean, mean_sq = _batch_moments(x, cx.axis)
+        var = _var_from_moments(mean, mean_sq)
+        if cx.bn_accum:
+            # gradient-accumulation micro-batch: the slots hold running
+            # SUMS of (mean, mean-of-squares) across micro-batches —
+            # bn_accum_begin zeroed them, bn_accum_finalize averages
+            # and applies momentum ONCE per optimizer step, so running
+            # statistics are exactly the unaccumulated step's
+            # (normalization itself stays per-micro-batch: full-batch
+            # normalization would need a second pass over the data).
+            cx.put_aux("mean", cx.get_aux("mean") + mean)
+            cx.put_aux("var", cx.get_aux("var") + mean_sq)
+        else:
+            m = layer.momentum
+            cx.put_aux("mean", m * cx.get_aux("mean") + (1.0 - m) * mean)
+            cx.put_aux("var", m * cx.get_aux("var") + (1.0 - m) * var)
     else:
         mean, var = cx.get_aux("mean"), cx.get_aux("var")
     inv = lax.rsqrt(var + layer.eps)
     y = (x.astype(jnp.float32) - mean) * inv * gamma + beta
     return y.astype(layer.dtype)
+
+
+def bn_moment_paths(root):
+    """``[(aux-path tuple, momentum)]`` for every (Conditional)BatchNorm
+    under ``root`` — the moment leaves live at ``path + ("mean"|"var",)``
+    in the nested aux tree.  Used by the trainer's exact
+    gradient-accumulation path (``bn_accum_begin``/``finalize``)."""
+    out = []
+
+    def walk(mod, path):
+        if isinstance(mod, (BatchNorm, ConditionalBatchNorm)):
+            out.append((path, mod.momentum))
+        for name, child in mod._children.items():
+            walk(child, path + (name,))
+
+    walk(root, ())
+    return out
+
+
+def _aux_node(aux, path):
+    for p in path:
+        aux = aux[p]
+    return aux
+
+
+def bn_accum_begin(paths, aux):
+    """Zero the BN moment slots — during the micro-batch scan they hold
+    running SUMS of per-micro (mean, mean-of-squares) (``_bn_core`` with
+    ``cx.bn_accum``).  Returns ``(aux0, saved running stats)``."""
+    from .module import _merge_updates
+
+    updates, saved = {}, {}
+    for path, _ in paths:
+        node = _aux_node(aux, path)
+        saved[path] = (node["mean"], node["var"])
+        updates[path + ("mean",)] = jnp.zeros_like(node["mean"])
+        updates[path + ("var",)] = jnp.zeros_like(node["var"])
+    return _merge_updates(aux, updates), saved
+
+
+def bn_accum_finalize(paths, aux, saved, n):
+    """Average the accumulated moment sums over ``n`` micro-batches and
+    momentum-update the saved running stats ONCE — because mean and
+    E[x²] are linear in the data, the result is bit-for-bit the
+    full-batch statistics an unaccumulated step would produce
+    (up to fp32 summation order)."""
+    from .module import _merge_updates
+
+    updates = {}
+    for path, momentum in paths:
+        node = _aux_node(aux, path)
+        mean_avg = node["mean"] / n
+        var_avg = _var_from_moments(mean_avg, node["var"] / n)
+        old_mean, old_var = saved[path]
+        updates[path + ("mean",)] = (momentum * old_mean +
+                                     (1.0 - momentum) * mean_avg)
+        updates[path + ("var",)] = (momentum * old_var +
+                                    (1.0 - momentum) * var_avg)
+    return _merge_updates(aux, updates)
 
 
 def leaky_relu(x, alpha=0.1):

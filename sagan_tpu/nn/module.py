@@ -53,12 +53,19 @@ class Ctx:
     * ``cx.train`` — static Python bool (train vs. eval graph).
     * ``cx.axis`` — mesh axis name for cross-replica collectives
       (e.g. BatchNorm moment ``pmean``), or None on a single device.
+    * ``cx.bn_accum`` — static bool: inside a gradient-accumulation
+      micro-batch, BatchNorm layers *accumulate* batch moments into
+      their aux slots instead of momentum-updating them; the trainer
+      averages the accumulated moments and applies momentum ONCE per
+      optimizer step (exact full-batch running statistics — see
+      ``nn.layers.bn_accum_begin/finalize``).
     """
 
     __slots__ = ("module", "params", "aux", "updates", "train", "axis",
-                 "rng", "path", "_rng_calls")
+                 "rng", "path", "bn_accum", "_rng_calls")
 
-    def __init__(self, module, params, aux, updates, train, axis, rng, path):
+    def __init__(self, module, params, aux, updates, train, axis, rng, path,
+                 bn_accum=False):
         self._rng_calls = 0
         self.module = module
         self.params = params
@@ -68,6 +75,7 @@ class Ctx:
         self.axis = axis
         self.rng = rng
         self.path = path
+        self.bn_accum = bn_accum
 
     # -- leaves ------------------------------------------------------------
     def param(self, name: str) -> jax.Array:
@@ -103,6 +111,7 @@ class Ctx:
             self.axis,
             self.rng,
             self.path + (name,),
+            self.bn_accum,
         )
         return child.forward(sub, *args, **kwargs)
 
@@ -182,11 +191,12 @@ class Module:
         raise NotImplementedError
 
     def __call__(self, variables: dict, *args, train: bool = False,
-                 axis: str | None = None, rng: jax.Array | None = None, **kwargs):
+                 axis: str | None = None, rng: jax.Array | None = None,
+                 bn_accum: bool = False, **kwargs):
         """Pure apply: returns (outputs, new_aux)."""
         updates: dict = {}
         cx = Ctx(self, variables["params"], variables["aux"], updates,
-                 train, axis, rng, ())
+                 train, axis, rng, (), bn_accum)
         out = self.forward(cx, *args, **kwargs)
         new_aux = _merge_updates(variables["aux"], updates)
         return out, new_aux

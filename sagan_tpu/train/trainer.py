@@ -137,6 +137,17 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh,
     summary_var = config.get("summary_var", True)
     random_flip = config.get("random_flip", False)
     accum = config.get("grad_accum_steps", 1)
+    # Exact accumulated-BN semantics (default on): micro-batch moments
+    # are averaged and running-stat momentum applied ONCE per optimizer
+    # step, matching the unaccumulated step's statistics exactly.
+    # ``exact_accum_bn: False`` restores the per-micro momentum updates
+    # (the pre-round-4 behavior, documented in PARITY.md).
+    bn_acc = accum > 1 and config.get("exact_accum_bn", True)
+    if bn_acc:
+        from ..nn.layers import (bn_accum_begin, bn_accum_finalize,
+                                 bn_moment_paths)
+        gen_bn = bn_moment_paths(gen)
+        disc_bn = bn_moment_paths(disc)
     # (the SN backend — XLA vs fused Pallas — is per-model config, set
     # by the model factories via nn.layers.set_sn_backend)
     gspmd = model_parallel_size(mesh) > 1
@@ -185,7 +196,9 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh,
             # one optimizer update, so the *effective* batch matches the
             # config while activation memory scales with batch/accum —
             # how the pod-scale batch-2048 configs run on small slices.
-            # (BN normalizes per micro-batch; documented in PARITY.md.)
+            # (BN normalizes per micro-batch, but running statistics
+            # are exact — accumulated moments, momentum applied once —
+            # unless exact_accum_bn=False; documented in PARITY.md.)
             images_m = images.reshape(accum, micro, *images.shape[1:])
             labels_m = labels.reshape(accum, micro)
 
@@ -230,13 +243,14 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh,
                 both = jnp.concatenate([imgs.astype(fake.dtype), fake], 0)
                 both_labels = jnp.concatenate([lbls, fl], 0)
                 out, aux2 = disc(vd, both, both_labels, train=True,
-                                 axis=axis)
+                                 axis=axis, bn_accum=bn_acc)
                 out_real, out_fake = out[:b], out[b:]
             else:
                 out_real, aux1 = disc(vd, imgs, lbls, train=True,
-                                      axis=axis)
+                                      axis=axis, bn_accum=bn_acc)
                 vd = {"params": params_d, "aux": aux1}
-                out_fake, aux2 = disc(vd, fake, fl, train=True, axis=axis)
+                out_fake, aux2 = disc(vd, fake, fl, train=True, axis=axis,
+                                      bn_accum=bn_acc)
             return (dloss_fn(out_real, out_fake),
                     (aux2, d_health(out_real, out_fake)))
 
@@ -258,11 +272,10 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh,
             else:
                 def d_micro(carry, xs):
                     aux_g_c, aux_d_c, loss_c, grads_c, health_c = carry
-                    imgs_a, lbls_a, key_a = xs
-                    z, fl = sample_latents(key_a, micro)
+                    imgs_a, lbls_a, z, fl = xs
                     fake, aux_g2 = gen(
                         {"params": vars_g["params"], "aux": aux_g_c},
-                        z, fl, train=True, axis=axis)
+                        z, fl, train=True, axis=axis, bn_accum=bn_acc)
                     fake = lax.stop_gradient(fake)
                     (loss, (aux_d2, health2)), g = jax.value_and_grad(
                         d_loss, has_aux=True)(vars_d["params"], aux_d_c,
@@ -272,15 +285,27 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh,
                              jax.tree.map(jnp.add, health_c, health2))
                     return carry, None
 
+                # latents for the WHOLE effective batch from the same
+                # key as the unaccumulated path, chunked per micro-batch
+                # — the RNG stream is bit-identical to accum=1
+                z_all, fl_all = sample_latents(iter_key, batch)
+                z_m = z_all.reshape(accum, micro, z_dim)
+                fl_m = fl_all.reshape(accum, micro)
+                aux_g0, aux_d0 = vars_g["aux"], vars_d["aux"]
+                if bn_acc:
+                    aux_g0, g_saved = bn_accum_begin(gen_bn, aux_g0)
+                    aux_d0, d_saved = bn_accum_begin(disc_bn, aux_d0)
                 zeros = jax.tree.map(jnp.zeros_like, vars_d["params"])
                 zeros_h = jax.tree.map(jnp.zeros_like, health_acc)
                 (aux_g, aux_d, loss_sum, grads_sum, health_sum), _ = \
                     lax.scan(
                         d_micro,
-                        (vars_g["aux"], vars_d["aux"], jnp.float32(0.0),
+                        (aux_g0, aux_d0, jnp.float32(0.0),
                          zeros, zeros_h),
-                        (images_m, labels_m,
-                         jax.random.split(iter_key, accum)))
+                        (images_m, labels_m, z_m, fl_m))
+                if bn_acc:
+                    aux_g = bn_accum_finalize(gen_bn, aux_g, g_saved, accum)
+                    aux_d = bn_accum_finalize(disc_bn, aux_d, d_saved, accum)
                 vars_g = {"params": vars_g["params"], "aux": aux_g}
                 loss_d = loss_sum / accum
                 grads_d = jax.tree.map(lambda g: g / accum, grads_sum)
@@ -312,16 +337,17 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh,
             (loss_g, (aux_g2, aux_d2)), grads_g = jax.value_and_grad(
                 g_loss, has_aux=True)(vars_g["params"], vars_g["aux"])
         else:
-            def g_micro(carry, key_a):
+            def g_micro(carry, xs):
                 aux_g_c, aux_d_c, loss_c, grads_c = carry
-                z, fl = sample_latents(key_a, micro)
+                z, fl = xs
 
                 def g_loss(params_g, aux_g):
                     vg = {"params": params_g, "aux": aux_g}
-                    fake, aux_g2 = gen(vg, z, fl, train=True, axis=axis)
+                    fake, aux_g2 = gen(vg, z, fl, train=True, axis=axis,
+                                       bn_accum=bn_acc)
                     out_fake, aux_d2 = disc(
                         {"params": vars_d["params"], "aux": aux_d_c},
-                        fake, fl, train=True, axis=axis)
+                        fake, fl, train=True, axis=axis, bn_accum=bn_acc)
                     return gloss_fn(out_fake), (aux_g2, aux_d2)
 
                 (loss, (aux_g2, aux_d2)), g = jax.value_and_grad(
@@ -330,11 +356,23 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh,
                          jax.tree.map(jnp.add, grads_c, g))
                 return carry, None
 
+            # full-batch latents from the same key as accum=1 (see the
+            # D branch above)
+            z_all, fl_all = sample_latents(g_key, batch)
+            z_m = z_all.reshape(accum, micro, z_dim)
+            fl_m = fl_all.reshape(accum, micro)
+            aux_g0, aux_d0 = vars_g["aux"], vars_d["aux"]
+            if bn_acc:
+                aux_g0, g_saved = bn_accum_begin(gen_bn, aux_g0)
+                aux_d0, d_saved = bn_accum_begin(disc_bn, aux_d0)
             zeros = jax.tree.map(jnp.zeros_like, vars_g["params"])
             (aux_g2, aux_d2, loss_sum, grads_sum), _ = lax.scan(
                 g_micro,
-                (vars_g["aux"], vars_d["aux"], jnp.float32(0.0), zeros),
-                jax.random.split(g_key, accum))
+                (aux_g0, aux_d0, jnp.float32(0.0), zeros),
+                (z_m, fl_m))
+            if bn_acc:
+                aux_g2 = bn_accum_finalize(gen_bn, aux_g2, g_saved, accum)
+                aux_d2 = bn_accum_finalize(disc_bn, aux_d2, d_saved, accum)
             loss_g = loss_sum / accum
             grads_g = jax.tree.map(lambda g: g / accum, grads_sum)
         if axis is not None:
@@ -1218,20 +1256,33 @@ class Trainer:
                     self.writer.flush()
 
             if fid_freq and (epoch + 1) % fid_freq == 0:
-                from .fid import compute_fid_for_trainer
-                fid = compute_fid_for_trainer(self)
-                print(f"epoch {epoch}: FID = {fid:.2f}", flush=True)
+                from .fid import compute_fid_for_trainer, get_extractor
+                # Name the metric by the backend ACTUALLY used: with the
+                # random-feature proxy the tag is "proxy_FID" — its
+                # absolute scale is NOT comparable to published FID, and
+                # an unlabeled "FID=0.17" invites exactly that misread
+                # (VERDICT r3 item 7).
+                extractor = get_extractor(config)
+                fid_tag = ("FID" if extractor.backend == "inception"
+                           else "proxy_FID")
+                fid = compute_fid_for_trainer(self, extractor=extractor)
+                print(f"epoch {epoch}: {fid_tag} = {fid:.2f}", flush=True)
                 if self.writer:
-                    self.writer.scalar("FID", fid, step)
+                    self.writer.scalar(fid_tag, fid, step)
                     self.writer.flush()
                 if config.get("inception_score"):
                     # IS rides the FID cadence (the paper's metric pair)
-                    from .iscore import inception_score_for_trainer
-                    is_mean, is_std = inception_score_for_trainer(self)
-                    print(f"epoch {epoch}: IS = {is_mean:.2f} "
+                    from .iscore import (get_classifier,
+                                         inception_score_for_trainer)
+                    classifier = get_classifier(config)
+                    is_tag = ("IS" if classifier.backend == "inception"
+                              else "proxy_IS")
+                    is_mean, is_std = inception_score_for_trainer(
+                        self, classifier=classifier)
+                    print(f"epoch {epoch}: {is_tag} = {is_mean:.2f} "
                           f"± {is_std:.2f}", flush=True)
                     if self.writer:
-                        self.writer.scalar("IS", is_mean, step)
+                        self.writer.scalar(is_tag, is_mean, step)
                         self.writer.flush()
 
         if self.ckpt_mgr:

@@ -19,12 +19,17 @@ def test_evaluate_cli_end_to_end(tmp_path):
     result = evaluate.main(["--config_path", str(cfg_file)])
     assert result["step"] > 0
     assert result["extractor"] == "random_proxy"
-    assert np.isfinite(result["fid"])
-    assert result["inception_score"] >= 1.0
+    # proxy backend ⇒ the metric KEY itself says proxy (VERDICT r3
+    # item 7): nothing a skimmer could misread as real FID/IS
+    assert "fid" not in result and "inception_score" not in result
+    assert np.isfinite(result["proxy_fid"])
+    assert "NOT comparable" in result["proxy_fid_note"]
+    assert result["proxy_inception_score"] >= 1.0
     # deterministic metric plumbing: re-running reproduces the number
     again = evaluate.main(["--config_path", str(cfg_file), "--no_is"])
-    assert again["fid"] == pytest.approx(result["fid"], rel=1e-5)
-    assert "inception_score" not in again
+    assert again["proxy_fid"] == pytest.approx(result["proxy_fid"],
+                                               rel=1e-5)
+    assert "proxy_inception_score" not in again
 
 
 def test_evaluate_refuses_untrained(tmp_path):

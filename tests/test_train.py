@@ -417,6 +417,35 @@ def test_event_file_has_grad_norm_and_image_summaries(data16, tmp_path):
     assert img_events >= 2
 
 
+def test_in_loop_fid_tag_names_proxy_backend(data16, tmp_path, capsys):
+    """With the random-feature extractor active, the in-loop FID/IS
+    summaries must be tagged proxy_FID/proxy_IS — tag and stdout, not
+    just a backend field (VERDICT r3 item 7: a bare "FID=0.17" proxy
+    number reads as real FID)."""
+    tf = pytest.importorskip("tensorflow")
+
+    cfg = tiny_config(data16, num_devices=2, epoch=1,
+                      log_dir=str(tmp_path / "logs"),
+                      fid_epoch_freq=1, fid_num_images=8,
+                      inception_score=True, is_num_images=8)
+    tr = Trainer(cfg)
+    tr.train()
+
+    out = capsys.readouterr().out
+    assert "proxy_FID =" in out and "proxy_IS =" in out
+    assert "epoch 0: FID =" not in out and "epoch 0: IS =" not in out
+
+    logdir = cfg["log_dir"]
+    fname = [f for f in os.listdir(logdir) if "tfevents" in f][0]
+    scalar_tags = {
+        v.tag
+        for ev in tf.compat.v1.train.summary_iterator(
+            os.path.join(logdir, fname))
+        for v in ev.summary.value if v.HasField("simple_value")}
+    assert "proxy_FID" in scalar_tags and "proxy_IS" in scalar_tags
+    assert "FID" not in scalar_tags and "IS" not in scalar_tags
+
+
 def test_metrics_packer_round_trip():
     """_MetricsPacker flattens a metrics pytree into one f32 device
     vector (one tunnel round trip instead of one per leaf) and must
