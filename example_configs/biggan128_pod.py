@@ -17,8 +17,16 @@ config = {
     "z_dim": 128,
     "gf_dim": 32,
     "df_dim": 32,
+    # Gentle-D recipe (round-4): lr_d 4e-4 / update_ratio 2 (the paper's
+    # TTUR) saturated the discriminator on every instrumented gf>=32 run
+    # (artifacts/imagenet128_gf64_diagnosis/ — D_loss -> 0, degenerate
+    # gradients).  That was measured at batch 64; a 2048 batch gives D
+    # 32x cleaner gradients per step, which makes saturation MORE likely,
+    # not less — so the pod config ships the validated gentle recipe.
+    # If D_*_in_margin metrics sit near 1.0 (D too weak), step lr_d
+    # toward 4e-4 before touching update_ratio.
     "lr_g": 1e-4,
-    "lr_d": 4e-4,
+    "lr_d": 1e-4,
     "decay_rate": 1.0,
     "use_attention": True,
     "attn_dim_G": [64],
@@ -28,8 +36,10 @@ config = {
     "batch_size": 8,               # x256 chips = 2048 global
     "loss": "hinge_loss",
     "epoch": 100,
-    "update_ratio": 2,
-    "g_ema_decay": 0.9999,   # EMA generator for eval/FID (standard GAN practice)
+    "update_ratio": 1,       # gentle-D (see note above)
+    "g_ema_decay": 0.9999,   # EMA generator for eval/FID (standard GAN
+                             # practice; 0.9999 suits pod-scale step
+                             # counts — use 0.999 for short runs)
     "compute_dtype": "bfloat16",
     "steps_per_call": 4,
     "num_sample": 16,

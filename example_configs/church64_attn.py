@@ -28,6 +28,9 @@ config = {
     "loss": "hinge_loss",
     "epoch": 100,
     "update_ratio": 1,
+    "g_ema_decay": 0.999,    # sample/FID from the EMA generator
+                             # (BigGAN/SAGAN eval practice; the trainer
+                             # uses ema_g for grids + FID when set)
     "compute_dtype": "bfloat16",
     "steps_per_call": 8,
 

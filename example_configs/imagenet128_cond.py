@@ -24,7 +24,11 @@ config = {
     "loss": "hinge_loss",
     "epoch": 100,
     "update_ratio": 2,
-    "g_ema_decay": 0.9999,   # EMA generator for eval/FID (standard GAN practice)
+    "g_ema_decay": 0.999,    # EMA generator for eval/FID (standard GAN
+                             # practice; 0.999 ramps up in ~1k steps —
+                             # right for these run lengths, vs 0.9999
+                             # which needs ~10k steps to diverge from
+                             # the live params)
     "compute_dtype": "bfloat16",
     "steps_per_call": 4,
     "num_sample": 16,
