@@ -36,6 +36,10 @@ def main(argv=None):
                     help="sample count (default: config fid_num_images)")
     ap.add_argument("--no_is", action="store_true",
                     help="skip the Inception Score")
+    ap.add_argument("--raw_g", action="store_true",
+                    help="evaluate the raw (non-EMA) generator even when "
+                         "the run tracked an EMA — quantifies what the "
+                         "EMA buys from one checkpoint")
     args = ap.parse_args(argv)
 
     import sys
@@ -52,11 +56,20 @@ def main(argv=None):
     # evaluation never trains: keep construction light and quiet
     config["print_variables"] = False
     trainer = Trainer(config)
+    # the Trainer merges dataset metadata (img_size, num_classes, …)
+    # into ITS copy — the raw file config lacks img_size unless the
+    # user spelled it out, and the extractor/classifier need it
+    config = trainer.config
     step = trainer.global_step()
     if step == 0:
         raise SystemExit(
             f"no trained checkpoint under {config.get('ckpt_dir')!r} — "
             f"train first (python -m sagan_tpu.main --config_path ...)")
+
+    if args.raw_g and trainer.state.ema_g is not None:
+        # eval_vars_g() returns EMA params whenever ema_g is tracked;
+        # dropping it from the (host-side) state forces the raw net
+        trainer.state = trainer.state._replace(ema_g=None)
 
     fid_n = args.num_images or config.get("fid_num_images", 5000)
     # Label the backend ACTUALLY instantiated (get_extractor falls back

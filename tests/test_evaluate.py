@@ -32,6 +32,28 @@ def test_evaluate_cli_end_to_end(tmp_path):
     assert "proxy_inception_score" not in again
 
 
+def test_evaluate_raw_g_flag(tmp_path):
+    """--raw_g evaluates the non-EMA net from an EMA-tracking run; the
+    two numbers differ (EMA params != live params after training) and
+    the result reports which net was used."""
+    cfg = _train_tiny(tmp_path, fid_num_images=16, g_ema_decay=0.9)
+    from sagan_tpu import evaluate
+
+    # write a USER-style config: metadata-derived keys absent, exactly
+    # as a real config file arrives (evaluate must re-merge them via
+    # the Trainer — regression: get_extractor crashed on img_size)
+    cfg = {k: v for k, v in cfg.items()
+           if k not in ("img_size", "num_classes", "num_records")}
+    cfg_file = tmp_path / "eval_cfg.py"
+    cfg_file.write_text(f"config = {cfg!r}\n")
+    ema = evaluate.main(["--config_path", str(cfg_file), "--no_is"])
+    raw = evaluate.main(["--config_path", str(cfg_file), "--no_is",
+                         "--raw_g"])
+    assert ema["ema"] is True and raw["ema"] is False
+    assert np.isfinite(raw["proxy_fid"])
+    assert raw["proxy_fid"] != pytest.approx(ema["proxy_fid"], rel=1e-6)
+
+
 def test_evaluate_refuses_untrained(tmp_path):
     from sagan_tpu import evaluate
     from sagan_tpu.data.synthetic import make_synthetic_dataset
