@@ -146,7 +146,9 @@ class ResGenerator(Module):
                 attn = self.add(f"attn{side}", SelfAttention(
                     cout, sn_iters=sn_iters, downsample=attn_ds,
                     dtype=self.dtype, use_pallas=use_pallas,
-                    pallas_partitioned=pallas_part))
+                    pallas_partitioned=pallas_part,
+                    qk_dim=c.get("attn_qk_dim"),
+                    v_dim=c.get("attn_v_dim")))
             self.blocks.append((blk, attn))
             cin = cout
 
@@ -184,6 +186,8 @@ class ResDiscriminator(Module):
         self._use_pallas = c.get("use_pallas", None)
         self._pallas_part = c.get("pallas_partitioned", False)
         self._attn_ds = c.get("attn_downsample", True)
+        self._attn_qk = c.get("attn_qk_dim")
+        self._attn_v = c.get("attn_v_dim")
         power = _power(c["img_size"])
         attn_at = set(c.get("attn_dim_D", [])) if c.get("use_attention") else set()
 
@@ -218,7 +222,8 @@ class ResDiscriminator(Module):
             return self.add(f"attn{side}", SelfAttention(
                 ch, sn_iters=self._sn_iters, downsample=self._attn_ds,
                 dtype=self.dtype, use_pallas=self._use_pallas,
-                pallas_partitioned=self._pallas_part))
+                pallas_partitioned=self._pallas_part,
+                qk_dim=self._attn_qk, v_dim=self._attn_v))
         return None
 
     def forward(self, cx: Ctx, img, labels=None):

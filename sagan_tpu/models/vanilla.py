@@ -89,7 +89,9 @@ class Generator(Module):
                 attn = self.add(f"attn{side}", SelfAttention(
                     cout, sn_iters=sn_iters, downsample=attn_ds,
                     dtype=self.dtype, use_pallas=use_pallas,
-                    pallas_partitioned=pallas_part))
+                    pallas_partitioned=pallas_part,
+                    qk_dim=c.get("attn_qk_dim"),
+                    v_dim=c.get("attn_v_dim")))
             self.blocks.append((convt, bn, attn))
             cin = cout
 
@@ -146,7 +148,9 @@ class Discriminator(Module):
                 attn = self.add(f"attn{side}", SelfAttention(
                     cout, sn_iters=sn_iters, downsample=attn_ds,
                     dtype=self.dtype, use_pallas=use_pallas,
-                    pallas_partitioned=pallas_part))
+                    pallas_partitioned=pallas_part,
+                    qk_dim=c.get("attn_qk_dim"),
+                    v_dim=c.get("attn_v_dim")))
             self.blocks.append((conv, attn))
             cin = cout
 

@@ -194,3 +194,27 @@ def test_module_child_leaf_name_collision_raises():
 
     with pytest.raises(ValueError, match="collides"):
         Clash().init(jax.random.PRNGKey(0))
+
+
+def test_self_attention_qk_v_dim_override():
+    """TPU-first extension: attn qk/v widths are overridable (the MXU
+    contracts over 128 lanes whether d=2 or d=128, so widening is
+    near-free in step time — nn/attention.py docstring).  Default stays
+    exact reference parity (theta/phi c/8, g c/2, layers.py:89-99)."""
+    ref = SelfAttention(16)
+    assert ref.qk_dim == 2 and ref.v_dim == 8  # c/8, c/2 parity
+    wide = SelfAttention(16, qk_dim=128, v_dim=16)
+    v = wide.init(KEY)
+    assert v["params"]["theta"]["w"].shape[-2:] == (16, 128)
+    assert v["params"]["phi"]["w"].shape[-2:] == (16, 128)
+    assert v["params"]["g"]["w"].shape[-2:] == (16, 16)
+    assert v["params"]["out_proj"]["w"].shape[-2:] == (16, 16)
+    x = jax.random.normal(KEY, (2, 8, 8, 16))
+    y, _ = wide(v, x)
+    assert y.shape == x.shape
+    # sigma gate still zero-initialized => identity at init
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+    v["params"]["sigma"] = jnp.array(1.0)
+    y, _ = wide(v, x)
+    assert not np.allclose(np.asarray(y), np.asarray(x))
+    assert np.all(np.isfinite(np.asarray(y)))

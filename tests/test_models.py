@@ -228,3 +228,40 @@ def test_config_space_property_sweep():
         assert img.shape == (2, img_size, img_size, 3), (model, img_size)
         assert np.isfinite(np.asarray(img)).all(), (model, img_size)
         assert np.isfinite(np.asarray(out)).all(), (model, img_size)
+
+
+@pytest.mark.parametrize("model", ["vanilla", "resnet"])
+def test_attn_dim_overrides_propagate(model):
+    """attn_qk_dim/attn_v_dim reach every attention module in both
+    families (all four construction sites) and the nets still run."""
+    from sagan_tpu.nn.attention import SelfAttention
+
+    cfg = make_config(model=model, attn_qk_dim=32, attn_v_dim=16,
+                      use_label=(model == "resnet"))
+
+    def collect(mod, out):
+        for v in mod.__dict__.values():
+            if isinstance(v, SelfAttention):
+                out.append(v)
+            elif hasattr(v, "__dict__") and hasattr(v, "init"):
+                collect(v, out)
+        for blocks in getattr(mod, "blocks", []):
+            for item in (blocks if isinstance(blocks, tuple) else ()):
+                if isinstance(item, SelfAttention):
+                    out.append(item)
+        return out
+
+    for net, run in ((get_generator(cfg), "g"), (get_discriminator(cfg),
+                                                 "d")):
+        attns = collect(net, [])
+        assert attns, f"no attention modules found in {model} {run}"
+        for a in attns:
+            assert a.qk_dim == 32 and a.v_dim == 16
+        v = net.init(KEY)
+        if run == "g":
+            out, _ = net(v, jax.random.normal(KEY, (2, 16)),
+                         jnp.array([1, 3]), train=True)
+        else:
+            out, _ = net(v, jax.random.normal(KEY, (2, 32, 32, 3)),
+                         jnp.array([1, 3]), train=True)
+        assert np.all(np.isfinite(np.asarray(out)))
