@@ -408,9 +408,37 @@ def emit_stale_fallback(diagnostic: str):
         with open(detail_path) as f:
             detail = json.load(f)
         church = detail["headline"]
+        # every field access stays inside the try: this function runs
+        # from except branches and signal handlers, where an uncaught
+        # KeyError (schema drift, a hand-recovered file) would abort
+        # with zero stdout — the exact failure it exists to prevent
+        measured_unix = detail.get("measured_unix") or _detail_commit_unix(
+            detail_path)
+        line = json.dumps({
+            "metric": "sagan_church64_train_imgs_per_sec_per_chip",
+            "value": church["imgs_per_sec_per_chip"],
+            "unit": "imgs/sec",
+            "vs_baseline": church.get("vs_baseline"),
+            "stale": True,
+            "stale_reason": (
+                "no fresh measurement this run; value is the last "
+                "committed BENCH_DETAIL.json measurement. " + diagnostic),
+            "measured_unix": measured_unix,
+            "detail": {
+                "device_kind": detail.get("device_kind"),
+                "chip_bf16_peak_tflops": detail.get(
+                    "chip_bf16_peak_tflops"),
+                "baseline_definition": (
+                    "naive fp32 unfused non-donated JAX transcription of "
+                    "the TF2 reference's step, same process/chip (the "
+                    "reference publishes no numbers; BASELINE.md)"),
+                "configs": [church],
+                "secondary_configs": "BENCH_DETAIL.json",
+            },
+        })
     except Exception as e:
         # nothing committed to fall back on: still emit a parseable line
-        print(json.dumps({
+        line = json.dumps({
             "metric": "sagan_church64_train_imgs_per_sec_per_chip",
             "value": None,
             "unit": "imgs/sec",
@@ -418,31 +446,13 @@ def emit_stale_fallback(diagnostic: str):
             "stale": True,
             "stale_reason": diagnostic,
             "detail": {"error": f"no usable BENCH_DETAIL.json: {e!r}"},
-        }), flush=True)
-        return
-    measured_unix = detail.get("measured_unix") or _detail_commit_unix(
-        detail_path)
-    print(json.dumps({
-        "metric": "sagan_church64_train_imgs_per_sec_per_chip",
-        "value": church["imgs_per_sec_per_chip"],
-        "unit": "imgs/sec",
-        "vs_baseline": church.get("vs_baseline"),
-        "stale": True,
-        "stale_reason": (
-            "no fresh measurement this run; value is the last committed "
-            f"BENCH_DETAIL.json measurement. {diagnostic}"),
-        "measured_unix": measured_unix,
-        "detail": {
-            "device_kind": detail.get("device_kind"),
-            "chip_bf16_peak_tflops": detail.get("chip_bf16_peak_tflops"),
-            "baseline_definition": (
-                "naive fp32 unfused non-donated JAX transcription of the "
-                "TF2 reference's step, same process/chip (the reference "
-                "publishes no numbers; BASELINE.md)"),
-            "configs": [church],
-            "secondary_configs": "BENCH_DETAIL.json",
-        },
-    }), flush=True)
+        })
+    # mark stdout as spoken-for BEFORE printing: a driver signal landing
+    # between this print and the caller's sys.exit would otherwise make
+    # the SIGTERM guard emit a SECOND line on the one-line stdout
+    global _HEADLINE_PRINTED
+    _HEADLINE_PRINTED = True
+    print(line, flush=True)
 
 
 def _detail_commit_unix(path):
@@ -543,6 +553,12 @@ def main():
 
     # Headline out FIRST (and flushed): everything after this point is
     # bonus detail that must never cost the driver its one JSON line.
+    # Flag BEFORE the print: a SIGTERM landing between the print and a
+    # flag-set-after would emit a SECOND (stale) line on the one-line
+    # stdout; flag-first risks only the opposite (signal between flag
+    # and print → no line), the same as being killed a moment earlier.
+    global _HEADLINE_PRINTED
+    _HEADLINE_PRINTED = True
     print(json.dumps({
         "metric": "sagan_church64_train_imgs_per_sec_per_chip",
         "value": church["imgs_per_sec_per_chip"],
@@ -560,8 +576,6 @@ def main():
             "secondary_configs": "BENCH_DETAIL.json",
         },
     }), flush=True)
-    global _HEADLINE_PRINTED
-    _HEADLINE_PRINTED = True
 
     # Secondary configs under the remaining wall-clock budget; results
     # go to BENCH_DETAIL.json progressively (stdout stays one line).

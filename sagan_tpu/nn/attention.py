@@ -50,8 +50,10 @@ class SelfAttention(Module):
         if c < 8:
             raise ValueError(f"attention needs >=8 channels, got {c}")
         self.c = c
-        self.qk_dim = qk_dim or c // 8
-        self.v_dim = v_dim or c // 2
+        # `is None` (not `or`): an explicit 0 must hit the validation
+        # below, not silently train at reference widths
+        self.qk_dim = c // 8 if qk_dim is None else qk_dim
+        self.v_dim = c // 2 if v_dim is None else v_dim
         if self.qk_dim < 1 or self.v_dim < 1:
             raise ValueError(
                 f"attention qk_dim/v_dim must be >=1, got "

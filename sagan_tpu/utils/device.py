@@ -43,6 +43,13 @@ def wait_for_devices(log_every: float = 60.0, timeout: float | None = None,
     def remaining():
         return None if timeout is None else timeout - (time.time() - t0)
 
+    # A BLOCKING probe (the stale-lease wedge) may wait unbounded when
+    # timeout is None — training jobs should survive a busy pool.  A
+    # RAISING probe is different: transient tunnel errors deserve a few
+    # retries, but a permanent init failure (broken plugin install, bad
+    # credentials) must surface, not loop "retrying in 15s" forever on
+    # an unattended box.  Cap consecutive raising probes when unbounded.
+    max_raising = int(os.environ.get("SAGAN_DEVICE_MAX_PROBE_ERRORS", "40"))
     attempt = 0
     while True:
         attempt += 1
@@ -51,6 +58,11 @@ def wait_for_devices(log_every: float = 60.0, timeout: float | None = None,
             return result
         left = remaining()
         if left is not None and left <= 15.0:
+            raise result
+        if left is None and attempt >= max_raising:
+            print(f"device probe failed {attempt} consecutive times — "
+                  "treating as a permanent init failure", flush=True,
+                  file=stream)
             raise result
         print(f"device probe attempt {attempt} failed ({result!r}) — "
               "retrying in 15s", flush=True, file=stream)

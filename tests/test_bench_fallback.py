@@ -59,5 +59,33 @@ def test_default_acquisition_ceiling_raised():
         "after its self-imposed 600", "")
 
 
+def test_stale_fallback_with_malformed_headline(tmp_path, monkeypatch,
+                                                capsys):
+    """A BENCH_DETAIL.json whose headline lacks the expected keys must
+    still produce one parseable line (the emitter runs from except
+    branches and signal handlers — it can never raise)."""
+    bench = _load_bench()
+    (tmp_path / "BENCH_DETAIL.json").write_text(
+        json.dumps({"headline": {"wrong_key": 1}}))
+    monkeypatch.setattr(bench.os.path, "abspath",
+                        lambda p: str(tmp_path / "bench.py"))
+    bench.emit_stale_fallback("schema drift")
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    line = json.loads(out[0])
+    assert line["stale"] is True and line["value"] is None
+
+
+def test_stale_fallback_sets_headline_flag(tmp_path, monkeypatch, capsys):
+    """After the emitter speaks, the SIGTERM guard must see stdout as
+    spoken-for — otherwise a signal landing between the print and the
+    caller's exit emits a SECOND line on the one-line stdout."""
+    bench = _load_bench()
+    assert bench._HEADLINE_PRINTED is False
+    bench.emit_stale_fallback("any")
+    capsys.readouterr()
+    assert bench._HEADLINE_PRINTED is True
+
+
 if __name__ == "__main__":
     sys.exit(os.system(f"python -m pytest {__file__} -q"))

@@ -56,3 +56,21 @@ def test_wait_for_devices_raises_at_deadline(monkeypatch):
     # the raising probe must surface once the deadline passes, not loop
     with pytest.raises(RuntimeError, match="still down"):
         dev_mod.wait_for_devices(timeout=1000.0)
+
+
+def test_unbounded_wait_caps_consecutive_raising_probes(monkeypatch):
+    """timeout=None must not loop forever on a PERMANENT init failure
+    (broken plugin, bad credentials): consecutive raising probes are
+    capped (SAGAN_DEVICE_MAX_PROBE_ERRORS) and the error surfaces."""
+    calls = {"n": 0}
+
+    def fake_probe(log_every, t0, timeout, stream):
+        calls["n"] += 1
+        return RuntimeError("permanent init failure")
+
+    monkeypatch.setattr(dev_mod, "_probe_devices", fake_probe)
+    monkeypatch.setattr(dev_mod.time, "sleep", lambda s: None)
+    monkeypatch.setenv("SAGAN_DEVICE_MAX_PROBE_ERRORS", "5")
+    with pytest.raises(RuntimeError, match="permanent init failure"):
+        dev_mod.wait_for_devices(timeout=None)
+    assert calls["n"] == 5

@@ -218,3 +218,14 @@ def test_self_attention_qk_v_dim_override():
     y, _ = wide(v, x)
     assert not np.allclose(np.asarray(y), np.asarray(x))
     assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_self_attention_rejects_zero_widths():
+    """An explicit 0 must fail fast, not silently fall back to the
+    reference widths (the `or`-default bug class)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="must be >=1"):
+        SelfAttention(16, qk_dim=0)
+    with pytest.raises(ValueError, match="must be >=1"):
+        SelfAttention(16, v_dim=0)

@@ -14,6 +14,13 @@ cd /root/repo
 Q=/tmp/r4_queue.log
 log() { echo "[$(date -u +%H:%M:%S)] $*" >> "$Q"; }
 
+# Fresh log + drained-flag reset: the log is append-only, so a stale
+# "queue drained" line (or flag file) from a previous run would let the
+# follow-up queue (r4_tpu_queue2.sh) start while this one still runs —
+# two TPU processes at once.  Start THIS script before queue2.
+rm -f /tmp/r4_queue_done
+: > "$Q"
+
 log "queue start"
 
 # 1. Fresh BENCH_DETAIL.json at HEAD (also warms the compile cache for
@@ -55,3 +62,4 @@ python -m sagan_tpu.evaluate \
 log "job 4b done"
 
 log "queue drained"
+touch /tmp/r4_queue_done
