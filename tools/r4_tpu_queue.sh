@@ -1,12 +1,16 @@
 #!/bin/bash
 # Round-4 on-hardware work queue (VERDICT r3 items 1/2/3/6).  The axon
-# device pool has been holding a stale lease for hours; each job below
-# acquires through sagan_tpu.utils.device.wait_for_devices and simply
-# waits its turn, so the whole queue drains unattended the moment the
-# pool recovers.  ONE process touches the TPU at a time (CLAUDE.md);
-# jobs run sequentially and each releases its lease on clean exit.
+# device pool has been holding a stale lease for >24 h; the only
+# empirically-working recovery pattern (memory: axon-device-wedge) is
+# FRESH bounded probe processes — a single long-blocked in-process
+# claim loop may never recover even after the pool does.  So job 0
+# watches for recovery with fresh probes; the real jobs only start on a
+# healthy pool, each acquiring through
+# sagan_tpu.utils.device.wait_for_devices.  ONE process touches the TPU
+# at a time (CLAUDE.md); jobs run sequentially and each releases its
+# lease on clean exit.
 #
-#   tmux new-session -d -s r4queue 'bash tools/r4_tpu_queue.sh'
+#   nohup bash tools/r4_tpu_queue.sh > /tmp/r4_queue_outer.log 2>&1 &
 #
 # Progress: tail -f /tmp/r4_queue.log
 set -u
@@ -23,12 +27,35 @@ rm -f /tmp/r4_queue_done
 
 log "queue start"
 
+# 0. Recovery watch: fresh bounded probes (one claim client per
+#    attempt) until the pool grants.  A probe is granted, computes one
+#    matmul, fetches it, and exits — releasing the lease for job 1.
+log "job 0: pool recovery watch (fresh bounded probes)"
+attempt=0
+until timeout 120 python - >> /tmp/r4_probe.log 2>&1 <<'PYEOF'
+import jax
+d = jax.devices()
+import jax.numpy as jnp
+x = jnp.ones((64, 64), jnp.bfloat16)
+v = float(jax.device_get((x @ x).sum()))
+print("DEVICE_OK", d[0].device_kind, v, flush=True)
+PYEOF
+do
+  attempt=$((attempt + 1))
+  if [ $((attempt % 20)) -eq 0 ]; then
+    log "job 0: still wedged after $attempt probes"
+  fi
+  sleep 45
+done
+log "job 0: pool recovered after $attempt failed probes"
+
 # 1. Fresh BENCH_DETAIL.json at HEAD (also warms the compile cache for
-#    the driver's end-of-round bench.py run).  Unbounded acquisition;
-#    generous budget so all three secondary configs (incl.
-#    church256_flash MFU accounting) get measured.
+#    the driver's end-of-round bench.py run).  Acquisition bounded but
+#    generous (job 0 already proved the pool healthy); budget sized so
+#    all three secondary configs (incl. church256_flash MFU accounting)
+#    get measured — its clock starts at device grant.
 log "job 1: bench.py"
-BENCH_DEVICE_TIMEOUT_S=999999 BENCH_BUDGET_S=5400 \
+BENCH_DEVICE_TIMEOUT_S=3600 BENCH_BUDGET_S=5400 \
   python bench.py > /tmp/r4_bench.out 2> /tmp/r4_bench.err
 log "job 1 done rc=$? headline: $(head -c 300 /tmp/r4_bench.out)"
 
