@@ -40,6 +40,8 @@ config = {
     "g_ema_decay": 0.9999,   # EMA generator for eval/FID (standard GAN
                              # practice; 0.9999 suits pod-scale step
                              # counts — use 0.999 for short runs)
+    "g_ema_start": 5000,     # delayed EMA start (BigGAN practice;
+                             # artifacts/church64_ema_refresh)
     "compute_dtype": "bfloat16",
     "steps_per_call": 4,
     "num_sample": 16,

@@ -31,6 +31,10 @@ config = {
     "g_ema_decay": 0.999,    # sample/FID from the EMA generator
                              # (BigGAN/SAGAN eval practice; the trainer
                              # uses ema_g for grids + FID when set)
+    "g_ema_start": 2000,     # EMA copies raw G until step 2000 (~11 epochs):
+                             # from-init EMA measured WORSE than raw early
+                             # (proxy-FID 5.51 vs 3.49 at 2.2k steps,
+                             # artifacts/church64_ema_refresh)
     "compute_dtype": "bfloat16",
     "steps_per_call": 8,
 

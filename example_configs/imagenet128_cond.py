@@ -29,6 +29,8 @@ config = {
                              # right for these run lengths, vs 0.9999
                              # which needs ~10k steps to diverge from
                              # the live params)
+    "g_ema_start": 2000,     # delayed EMA start (BigGAN practice; measured
+                             # need: artifacts/church64_ema_refresh)
     "compute_dtype": "bfloat16",
     "steps_per_call": 4,
     "num_sample": 16,

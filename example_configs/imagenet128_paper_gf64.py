@@ -38,6 +38,8 @@ config = {
     "epoch": 100,
     "update_ratio": 1,             # gentle: paper's 2 compounds saturation
     "g_ema_decay": 0.999,          # grids + FID sample the EMA generator
+    "g_ema_start": 2000,           # delayed EMA start (BigGAN practice;
+                                   # artifacts/church64_ema_refresh)
     "compute_dtype": "bfloat16",
     "steps_per_call": 4,
     "num_sample": 16,

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..nn.attention import SelfAttention
 from ..nn.layers import (BatchNorm, ConditionalBatchNorm, Conv, ConvTranspose,
                          Dense, Embedding, global_sum_pool)
-from ..nn.module import Ctx, Module
+from ..nn.module import Ctx, Module, remat_span
 from .vanilla import _power
 
 relu = jax.nn.relu
@@ -120,6 +120,7 @@ class ResGenerator(Module):
         self.num_classes = c.get("num_classes", 1)
         self.use_cond_bn = c.get("use_cond_bn", False) and self.use_label
         self.dtype = jnp.dtype(c.get("compute_dtype", "float32"))
+        self.remat = bool(c.get("remat", False))
         gf = c["gf_dim"]
         sn_iters = c.get("sn_iters", 1)
         power = _power(c["img_size"])
@@ -165,9 +166,14 @@ class ResGenerator(Module):
         x = cx.call(self.stem, x)
         x = x.reshape(x.shape[0], 4, 4, self.gf0)
         for blk, attn in self.blocks:
-            x = cx.call(blk, x, labels) if self.use_cond_bn else cx.call(blk, x)
-            if attn is not None:
-                x = cx.call(attn, x)
+            def stage(sub, x, labels, blk=blk, attn=attn):
+                x = sub.call(blk, x, labels) if self.use_cond_bn \
+                    else sub.call(blk, x)
+                if attn is not None:
+                    x = sub.call(attn, x)
+                return x
+            x = remat_span(cx, stage, x, labels) if self.remat \
+                else stage(cx, x, labels)
         x = relu(cx.call(self.bn_out, x))
         x = cx.call(self.to_rgb, x)
         return jnp.tanh(x.astype(jnp.float32)).astype(self.dtype)
@@ -180,6 +186,7 @@ class ResDiscriminator(Module):
         self.use_label = c.get("use_label", False)
         self.num_classes = c.get("num_classes", 1)
         self.dtype = jnp.dtype(c.get("compute_dtype", "float32"))
+        self.remat = bool(c.get("remat", False))
         df = c["df_dim"]
         sn_iters = c.get("sn_iters", 1)
         self._sn_iters = sn_iters
@@ -229,9 +236,12 @@ class ResDiscriminator(Module):
     def forward(self, cx: Ctx, img, labels=None):
         x = img.astype(self.dtype)
         for blk, attn in self.blocks:
-            x = cx.call(blk, x)
-            if attn is not None:
-                x = cx.call(attn, x)
+            def stage(sub, x, blk=blk, attn=attn):
+                x = sub.call(blk, x)
+                if attn is not None:
+                    x = sub.call(attn, x)
+                return x
+            x = remat_span(cx, stage, x) if self.remat else stage(cx, x)
         x = cx.call(self.final, x)
 
         if self.use_label:

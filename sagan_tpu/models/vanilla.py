@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from ..nn.attention import SelfAttention
 from ..nn.layers import (BatchNorm, ConditionalBatchNorm, Conv, ConvTranspose,
                          Dense, Embedding, global_sum_pool, leaky_relu)
-from ..nn.module import Ctx, Module
+from ..nn.module import Ctx, Module, remat_span
 
 
 def _power(img_size: int) -> int:
@@ -57,6 +57,7 @@ class Generator(Module):
         self.num_classes = c.get("num_classes", 1)
         self.use_cond_bn = c.get("use_cond_bn", False) and self.use_label
         self.dtype = jnp.dtype(c.get("compute_dtype", "float32"))
+        self.remat = bool(c.get("remat", False))
         gf = c["gf_dim"]
         sn_iters = c.get("sn_iters", 1)
         power = _power(self.img_size)
@@ -107,14 +108,16 @@ class Generator(Module):
         x = cx.call(self.stem, x)
         x = x.reshape(x.shape[0], 4, 4, self.gf0)
         for convt, bn, attn in self.blocks:
-            x = cx.call(convt, x)
-            if self.use_cond_bn:
-                x = cx.call(bn, x, labels)
-            else:
-                x = cx.call(bn, x)
-            x = leaky_relu(x, 0.1)
-            if attn is not None:
-                x = cx.call(attn, x)
+            def stage(sub, x, labels, convt=convt, bn=bn, attn=attn):
+                x = sub.call(convt, x)
+                x = sub.call(bn, x, labels) if self.use_cond_bn \
+                    else sub.call(bn, x)
+                x = leaky_relu(x, 0.1)
+                if attn is not None:
+                    x = sub.call(attn, x)
+                return x
+            x = remat_span(cx, stage, x, labels) if self.remat \
+                else stage(cx, x, labels)
         x = cx.call(self.to_rgb, x)
         return jnp.tanh(x.astype(jnp.float32)).astype(self.dtype)
 
@@ -127,6 +130,7 @@ class Discriminator(Module):
         self.use_label = c.get("use_label", False)
         self.num_classes = c.get("num_classes", 1)
         self.dtype = jnp.dtype(c.get("compute_dtype", "float32"))
+        self.remat = bool(c.get("remat", False))
         df = c["df_dim"]
         sn_iters = c.get("sn_iters", 1)
         power = _power(self.img_size)
@@ -167,10 +171,13 @@ class Discriminator(Module):
     def forward(self, cx: Ctx, img, labels=None):
         x = img.astype(self.dtype)
         for conv, attn in self.blocks:
-            x = cx.call(conv, x)
-            x = leaky_relu(x, 0.1)
-            if attn is not None:
-                x = cx.call(attn, x)
+            def stage(sub, x, conv=conv, attn=attn):
+                x = sub.call(conv, x)
+                x = leaky_relu(x, 0.1)
+                if attn is not None:
+                    x = sub.call(attn, x)
+                return x
+            x = remat_span(cx, stage, x) if self.remat else stage(cx, x)
 
         if self.use_label:
             # projection discriminator (Miyato & Koyama 2018;

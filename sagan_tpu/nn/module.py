@@ -202,6 +202,40 @@ class Module:
         return out, new_aux
 
 
+def remat_span(cx: Ctx, fn: Callable, *args):
+    """Run ``fn(cx, *args)`` under :func:`jax.checkpoint` (gradient
+    rematerialization) without changing the variable tree.
+
+    TPU memory lever (config key ``remat``): activations computed inside
+    the span are NOT saved for the backward pass — XLA recomputes them
+    from the span's inputs — trading ~one extra forward's FLOPs inside
+    the span for HBM.  At 256px+ the per-stage activation maps dominate
+    HBM; rematting each generator/discriminator stage caps residency at
+    the stage *boundaries* and unlocks larger batches (better MXU
+    utilization) at fixed memory.  The reference has no analog (TF2
+    eager tapes keep everything; /root/reference/sagan/trainer.py).
+
+    ``fn`` receives a fresh :class:`Ctx` view over the SAME module slice
+    (same path, params, aux), so ``sub.call(child, ...)``, aux updates,
+    and rng-key folding behave identically to the unrematted path; aux
+    updates recorded inside the span are merged back into ``cx``.
+    Numerics are unchanged — recomputation is deterministic.
+
+    Array arguments must be passed via ``*args`` (not closed over):
+    closed-over tracers are saved as residuals, defeating the point.
+    """
+    def pure(params, aux, rng, args):
+        updates: dict = {}
+        sub = Ctx(cx.module, params, aux, updates, cx.train, cx.axis, rng,
+                  cx.path, cx.bn_accum)
+        out = fn(sub, *args)
+        return out, updates
+
+    out, updates = jax.checkpoint(pure)(cx.params, cx.aux, cx.rng, args)
+    cx.updates.update(updates)
+    return out
+
+
 def _merge_updates(aux: dict, updates: dict) -> dict:
     """Apply a flat {path: value} update dict to a nested aux tree,
     copying only along updated paths (structural sharing elsewhere)."""

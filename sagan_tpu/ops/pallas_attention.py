@@ -277,6 +277,46 @@ def _pick_flash_blocks(n: int, m: int, d: int, c: int):
     return 0, 0
 
 
+# The FORWARD kernel's residency is ~half the backward's (two [BN, BM]
+# tiles instead of three, one k/v key-block set instead of k/v + fp32
+# dK/dV accumulators), so it can afford larger blocks than the pair the
+# backward is safe with.  Measured on the v5e at the 256px G map
+# (B=16, N=65536, M=16384, d=2 — tools/bench_attn_floor256.py, round
+# 4): the backward-safe pick (BN=256, BM=1024) runs the forward at
+# 86.8 ms while (BN=512, BM=2048) runs 65.2 ms — 25% faster and inside
+# the stripped-math floor (no-max-correction variant: 65.9 ms).  The
+# (512, 2048) forward footprint estimates at ~12.1 MB and compiled/ran
+# on hardware, so the forward budget keeps ~2 MB Mosaic headroom of
+# the 16 MB/core scoped-VMEM limit instead of the backward's 4 MB.
+FWD_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def _flash_fwd_vmem_bytes(bn: int, bm: int, d: int, c: int) -> int:
+    """Per-batch-element resident bytes of the flash FORWARD kernel:
+    two fp32 [BN, BM] tiles (scores s and exponentials e) + the k/v key
+    blocks + q/acc/o row blocks + mi/li/lse scalars-per-row, all at
+    lane-padded widths (see _lanes)."""
+    tiles = 2 * bn * _lanes(bm) * 4
+    keys = bm * (_lanes(d) + _lanes(c)) * 4
+    rows = bn * (2 * _lanes(c) + _lanes(d) + 3 * 128) * 4
+    return tiles + keys + rows
+
+
+def _pick_flash_blocks_fwd(n: int, m: int, d: int, c: int):
+    """Forward-path block pair: largest key block, then largest query
+    block, that fits the forward budget.  Strictly more permissive than
+    _pick_flash_blocks (smaller estimate, larger budget), so it never
+    fails when the backward pick succeeded."""
+    for bm in (2048, 1024, 512, 256, 128):
+        if m % bm:
+            continue
+        for bn in (512, 256, 128):
+            if n % bn == 0 and \
+                    _flash_fwd_vmem_bytes(bn, bm, d, c) <= FWD_VMEM_BUDGET:
+                return bn, bm
+    return 0, 0
+
+
 def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, mi, li,
                       *, nk):
     kidx = pl.program_id(2)
@@ -479,18 +519,20 @@ def _flash_bwd(q, k, v, o, lse, g, bn, bm, gb, interpret=False):
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _attention_flash(q, k, v, bn, bm, gb, interpret):
-    o, _lse = _flash_fwd(q, k, v, bn, bm, gb, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _attention_flash(q, k, v, bn, bm, fbn, fbm, gb, interpret):
+    """(bn, bm) are the backward-safe blocks; (fbn, fbm) the larger
+    forward-only blocks (see _pick_flash_blocks_fwd)."""
+    o, _lse = _flash_fwd(q, k, v, fbn, fbm, gb, interpret)
     return o
 
 
-def _attention_flash_fwd(q, k, v, bn, bm, gb, interpret):
-    o, lse = _flash_fwd(q, k, v, bn, bm, gb, interpret)
+def _attention_flash_fwd(q, k, v, bn, bm, fbn, fbm, gb, interpret):
+    o, lse = _flash_fwd(q, k, v, fbn, fbm, gb, interpret)
     return o, (q, k, v, o, lse)
 
 
-def _attention_flash_bwd(bn, bm, gb, interpret, res, g):
+def _attention_flash_bwd(bn, bm, fbn, fbm, gb, interpret, res, g):
     q, k, v, o, lse = res
     return _flash_bwd(q, k, v, o, lse, g, bn, bm, gb, interpret)
 
@@ -535,7 +577,8 @@ def attention_fused(q: jax.Array, k: jax.Array, v: jax.Array,
         return _attention_fused(q, k, v, block_n, block_b, interpret)
     bn, bm = _pick_flash_blocks(n, m, d, c)
     if bn:
-        return _attention_flash(q, k, v, bn, bm, 1, interpret)
+        fbn, fbm = _pick_flash_blocks_fwd(n, m, d, c)
+        return _attention_flash(q, k, v, bn, bm, fbn, fbm, 1, interpret)
     from .attention import attention_reference
     return attention_reference(q, k, v)
 
@@ -623,7 +666,7 @@ def _bwd_local(q, k, v, g, interpret):
 def _flash_fwd_local(q, k, v, interpret):
     n, d = q.shape[1:]
     m, c = k.shape[1], v.shape[2]
-    bn, bm = _pick_flash_blocks(n, m, d, c)
+    bn, bm = _pick_flash_blocks_fwd(n, m, d, c)
     return _flash_fwd(q, k, v, bn, bm, 1, interpret)
 
 

@@ -133,6 +133,13 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh,
     update_ratio = config.get("update_ratio", 1)
     gloss_fn, dloss_fn = get_loss(config.get("loss", "hinge_loss"))
     ema_decay = config.get("g_ema_decay", 0.0)
+    # Delayed EMA start (BigGAN practice): before step g_ema_start the
+    # EMA tracks the raw params exactly (decay 0 = copy), so early
+    # random-init weights never enter the average.  Measured need:
+    # artifacts/church64_ema_refresh — at only 2208 steps, decay-0.999
+    # EMA-from-init evaluates WORSE than the raw G (proxy-FID 5.51 vs
+    # 3.49) because the average is still dominated by early weights.
+    ema_start = int(config.get("g_ema_start", 0))
     fuse_d = config.get("fuse_d_batches", True)
     summary_var = config.get("summary_var", True)
     random_flip = config.get("random_flip", False)
@@ -386,8 +393,9 @@ def build_train_step(gen, disc, opt_g, opt_d, config, mesh,
 
         ema_g = state.ema_g
         if ema_g is not None:
+            decay_t = jnp.where(state.step >= ema_start, ema_decay, 0.0)
             ema_g = jax.tree.map(
-                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                lambda e, p: decay_t * e + (1.0 - decay_t) * p,
                 ema_g, vars_g["params"])
 
         metrics = {

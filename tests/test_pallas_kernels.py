@@ -127,12 +127,13 @@ def test_flash_path_matches_reference(n, m, bn, bm):
 
     q, k, v = rand_qkv(b=2, n=n, m=m, d=8, c=16)
     ref = attention_reference(q, k, v)
-    out = _attention_flash(q, k, v, bn, bm, 1, True)
+    out = _attention_flash(q, k, v, bn, bm, bn, bm, 1, True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
 
     def loss_flash(q, k, v):
-        return jnp.sum(_attention_flash(q, k, v, bn, bm, 1, True) ** 2)
+        return jnp.sum(_attention_flash(q, k, v, bn, bm, bn, bm, 1,
+                                        True) ** 2)
 
     def loss_ref(q, k, v):
         return jnp.sum(attention_reference(q, k, v) ** 2)
@@ -150,9 +151,53 @@ def test_flash_path_batch_blocked():
 
     q, k, v = rand_qkv(b=4, n=256, m=256, d=4, c=8)
     ref = attention_reference(q, k, v)
-    out = _attention_flash(q, k, v, 128, 128, 2, True)
+    out = _attention_flash(q, k, v, 128, 128, 128, 128, 2, True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_flash_forward_blocks_larger_than_backward():
+    """Round 4: the forward runs at larger blocks than the backward-safe
+    pair (tools/bench_attn_floor256.py measured 25% off the floor
+    otherwise).  Fwd picker must return the measured-fastest
+    (512, 2048) at the 256px shape; fwd+grads must match the oracle
+    when fwd and bwd blocks DIFFER; and the fwd pick must succeed at
+    every shape the bwd pick gates into the flash path."""
+    from sagan_tpu.ops.pallas_attention import (FWD_VMEM_BUDGET,
+                                                _attention_flash,
+                                                _flash_fwd_vmem_bytes,
+                                                _pick_flash_blocks,
+                                                _pick_flash_blocks_fwd)
+
+    assert _pick_flash_blocks_fwd(65536, 16384, 2, 8) == (512, 2048)
+    for n, m, d, c in [(65536, 16384, 2, 8), (16384, 16384, 8, 32),
+                       (16384, 16384, 2, 8), (65536, 65536, 16, 64)]:
+        fbn, fbm = _pick_flash_blocks_fwd(n, m, d, c)
+        bn, bm = _pick_flash_blocks(n, m, d, c)
+        assert fbn > 0 and fbm > 0, (n, m, d, c)
+        assert fbn * fbm >= bn * bm, (n, m, d, c)
+        assert _flash_fwd_vmem_bytes(fbn, fbm, d, c) <= FWD_VMEM_BUDGET
+
+    # numerics with split picks: fwd at (256, 512), bwd at (128, 256)
+    q, k, v = rand_qkv(b=2, n=512, m=512, d=8, c=16)
+    ref = attention_reference(q, k, v)
+    out = _attention_flash(q, k, v, 128, 256, 256, 512, 1, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(_attention_flash(q, k, v, 128, 256, 256, 512, 1,
+                                        True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3,
+                                   err_msg=f"d{name} mismatch")
 
 
 def test_fused_large_128px_map_matches_reference():

@@ -174,6 +174,33 @@ def test_ema_generator_tracked_and_used(data16):
     assert np.all(np.isfinite(imgs))
 
 
+def test_ema_start_delays_averaging(data16):
+    """g_ema_start (BigGAN practice): before that step the EMA is an
+    exact copy of the raw params (no early-random-init bias in the
+    average); from that step on, normal decay applies."""
+    from sagan_tpu.parallel.mesh import shard_batch
+    cfg = tiny_config(data16, num_devices=2, g_ema_decay=0.9,
+                      g_ema_start=2)
+    tr = Trainer(cfg)
+    state = tr.state
+    batch = shard_batch(tr.mesh, *next(iter(tr.ds_train.epoch(0))))
+    # steps 0 and 1: ema == raw params exactly
+    for _ in range(2):
+        state, _ = tr.train_step(state, *batch)
+        for e, p in zip(jax.tree.leaves(state.ema_g),
+                        jax.tree.leaves(state.vars_g["params"])):
+            np.testing.assert_array_equal(np.asarray(e), np.asarray(p))
+    # step 2 (>= g_ema_start): decay kicks in, ema lags the raw params
+    state, _ = tr.train_step(state, *batch)
+    moved = False
+    for e, p in zip(jax.tree.leaves(state.ema_g),
+                    jax.tree.leaves(state.vars_g["params"])):
+        if not np.allclose(np.asarray(e), np.asarray(p)):
+            moved = True
+            break
+    assert moved, "ema still copying raw params after g_ema_start"
+
+
 def test_no_ema_by_default(data16):
     cfg = tiny_config(data16, num_devices=2)
     tr = Trainer(cfg)

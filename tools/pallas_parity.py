@@ -113,6 +113,9 @@ def check_flash(results, dtype, tol_fwd, tol_bwd):
 
     b, n, m, d, c = 2, 4096, 2048, 8, 32
     bn, bm = 512, 512
+    # forward blocks larger than the backward-safe pair (round 4): the
+    # split-pick path the real dispatch now takes at flash shapes
+    fbn, fbm = 512, 1024
     key = jax.random.PRNGKey(7)
     kq, kk, kv, kg = jax.random.split(key, 4)
     q = jax.random.normal(kq, (b, n, d), dtype)
@@ -121,14 +124,16 @@ def check_flash(results, dtype, tol_fwd, tol_bwd):
     ct = jax.random.normal(kg, (b, n, c), dtype)
 
     out_f = jax.device_get(jax.jit(
-        lambda q, k, v: _attention_flash(q, k, v, bn, bm, 1, False))(q, k, v))
+        lambda q, k, v: _attention_flash(q, k, v, bn, bm, fbn, fbm, 1,
+                                         False))(q, k, v))
     out_o = jax.device_get(jax.jit(attention_reference)(
         q.astype(jnp.float32), k.astype(jnp.float32),
         v.astype(jnp.float32)))
     abs_f, rel_f = _err(out_f, out_o)
 
     gf = jax.device_get(jax.jit(jax.grad(
-        lambda q, k, v: jnp.sum(_attention_flash(q, k, v, bn, bm, 1, False)
+        lambda q, k, v: jnp.sum(_attention_flash(q, k, v, bn, bm, fbn, fbm,
+                                                 1, False)
                                 * ct), (0, 1, 2)))(q, k, v))
     go = jax.device_get(jax.jit(jax.grad(
         lambda q, k, v: jnp.sum(attention_reference(
