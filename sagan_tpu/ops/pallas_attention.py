@@ -38,11 +38,26 @@ Past that (M = 16384 at d = 2 — e.g. the 256px G map with 4×
 downsampled K/V, or any non-downsampled ≥128px map), whole-K/V
 residency alone exceeds VMEM and the dispatch drops to the **flash
 path**: key-axis blocking with an online running-max/denominator
-softmax.  The forward emits per-row logsumexp;
-the backward runs as two kernels — dQ with the key axis innermost, and
-dK/dV with the query axis innermost — using the flash identity
-δᵢ = Σⱼ pᵢⱼ dpᵢⱼ = dOᵢ·Oᵢ so no kernel ever holds a full probability
-row.  ``attention_fused`` falls back to the einsum reference only for
+softmax.  The forward emits per-row logsumexp; the backward uses the
+flash identity δᵢ = Σⱼ pᵢⱼ dpᵢⱼ = dOᵢ·Oᵢ so no kernel ever holds a
+full probability row.  Two backward strategies:
+
+* **fused one-pass** (default where it fits): one kernel on the dK/dV
+  grid (key blocks outer, query blocks inner) recomputes each [BN, BM]
+  score tile once and produces *all three* gradients from it — dK/dV
+  accumulate in place across the query axis, and the tile's dQ
+  contribution is written to a per-key-block slab [B, nk, N, D] that a
+  single XLA reduction sums afterwards (≈ nk·N·D fp32 of extra HBM
+  traffic, ~0.2 ms at the 256px shape — against a saved full second
+  score-recompute pass).  Measured on the v5e at the 256px G map
+  (B=16, N=65536, M=16384, d=2 — tools/bench_attn_bwd256.py, round 4):
+  135.7 ms vs 213.4 ms for the two-kernel backward (BN=512/BM=2048 vs
+  the two-kernel path's backward-safe BN=256/BM=1024), a 36% cut.
+* **two kernels** (fallback for shapes the fused picker rejects): dQ
+  with the key axis innermost, then dK/dV with the query axis
+  innermost — each recomputing the score tile independently.
+
+``attention_fused`` falls back to the einsum reference only for
 untileable shapes.
 """
 
@@ -519,6 +534,150 @@ def _flash_bwd(q, k, v, o, lse, g, bn, bm, gb, interpret=False):
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
+# --------------------------------------------------------------------------
+# fused one-pass flash backward
+# --------------------------------------------------------------------------
+
+# Budget for the fused backward kernel.  Its worst-case per-element
+# estimate at the adopted 256px blocks (BN=512, BM=2048, d=2, c=8) is
+# ~14.6 MB — larger than the two-kernel backward budget because the
+# fused kernel holds only ONE generation of score tiles (s/p + dp fp32
+# + dlog bf16) plus the dK/dV accumulators, and the (512, 2048) config
+# compiled and ran on the real v5e (tools/bench_attn_bwd256.py).
+BWD_FUSED_VMEM_BUDGET = 15 * 1024 * 1024
+# HBM cap for the dq partial slab [B, nk, N, D] fp32 (67 MB at the
+# 256px shape); shapes that would blow past this fall back to the
+# two-kernel backward.
+DQ_SLAB_LIMIT = 1024 * 1024 * 1024
+
+
+def _flash_bwd_fused_vmem_bytes(bn: int, bm: int, d: int, c: int) -> int:
+    """Per-batch-element resident bytes of the fused backward kernel:
+    two fp32 [BN, BM] tiles (p and dp) + the bf16 dlog tile + k/v key
+    blocks + fp32 dK/dV accumulators + q/g/o row blocks + lse + the
+    fp32 dq-partial out block, at lane-padded widths (see _lanes)."""
+    dc = _lanes(d) + _lanes(c)
+    tiles = bn * _lanes(bm) * (4 + 4 + 2)
+    keys = bm * dc * (2 + 4)
+    rows = bn * (_lanes(d) + 2 * _lanes(c)) * 2 + bn * 128 * 4 \
+        + bn * _lanes(d) * 4
+    return tiles + keys + rows
+
+
+def _pick_flash_blocks_bwd_fused(n: int, m: int, d: int, c: int):
+    """Block pair for the fused one-pass backward, or (0, 0) to fall
+    back to the two-kernel path.  BM < 1024 is excluded empirically:
+    every BM=512 variant died in the Mosaic pipeline on the v5e
+    (tools/bench_attn_bwd256.py round-4 sweep) while all BM≥1024
+    configs compiled and ran; the sweep's winner at the 256px shape was
+    (BN=512, BM=2048) at 135.7 ms."""
+    for bm in (2048, 1024):
+        if m % bm or m <= bm:
+            continue
+        for bn in (512, 256, 128):
+            if n % bn == 0 and \
+                    _flash_bwd_fused_vmem_bytes(bn, bm, d, c) \
+                    <= BWD_FUSED_VMEM_BUDGET:
+                return bn, bm
+    return 0, 0
+
+
+def _flash_dqkv_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref,
+                       dk_ref, dv_ref, dqp_ref):
+    """One-pass backward on the dK/dV grid (batch, key-block,
+    query-block): dK/dV accumulate in place across the innermost query
+    axis exactly like _flash_dkv_kernel, and the SAME recomputed score
+    tile also yields this key block's dq contribution, written to a
+    per-key-block slab summed outside by XLA.  One score recompute
+    instead of two."""
+    nidx = pl.program_id(2)
+    q = q_ref[...]                                 # [1, BN, D]
+    k = k_ref[...]                                 # [1, BM, D]
+    v = v_ref[...]                                 # [1, BM, C]
+    g = g_ref[...]                                 # [1, BN, C]
+    prec = _prec(q.dtype)
+    s = lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                        precision=prec)            # [1, BN, BM]
+    p = jnp.exp(s - lse_ref[...])
+    delta = jnp.sum(g.astype(jnp.float32) * o_ref[...].astype(jnp.float32),
+                    axis=-1, keepdims=True)        # [1, BN, 1]
+    dp = lax.dot_general(g, v, (((2,), (2,)), ((0,), (0,))),
+                         preferred_element_type=jnp.float32,
+                         precision=prec)           # [1, BN, BM]
+    dlog = (p * (dp - delta)).astype(k.dtype)
+
+    @pl.when(nidx == 0)
+    def _():
+        dk_ref[...] = jnp.zeros_like(dk_ref[...])
+        dv_ref[...] = jnp.zeros_like(dv_ref[...])
+
+    dk_ref[...] += lax.dot_general(
+        dlog, q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec)
+    dv_ref[...] += lax.dot_general(
+        p.astype(v.dtype), g, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec)
+    dqp_ref[...] = lax.dot_general(
+        dlog, k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec)[:, None]
+
+
+def _flash_bwd_fused(q, k, v, o, lse, g, bn, bm, interpret=False):
+    b, n, d = q.shape
+    m, c = k.shape[1], v.shape[2]
+    nk = m // bm
+    kv_specs = [
+        pl.BlockSpec((1, bn, d), lambda i, mm, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bm, d), lambda i, mm, j: (i, mm, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bm, c), lambda i, mm, j: (i, mm, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn, c), lambda i, mm, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn, c), lambda i, mm, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn, 1), lambda i, mm, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    dk, dv, dqp = pl.pallas_call(
+        _flash_dqkv_kernel,
+        grid=(b, m // bm, n // bn),
+        in_specs=kv_specs,
+        out_specs=[
+            pl.BlockSpec((1, bm, d), lambda i, mm, j: (i, mm, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm, c), lambda i, mm, j: (i, mm, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn, d), lambda i, mm, j: (i, mm, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, m, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, m, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, nk, n, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, g, o, lse)
+    dq = jnp.sum(dqp, axis=1).astype(q.dtype)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def _flash_bwd_dispatch(q, k, v, o, lse, g, bn, bm, gb, interpret):
+    """Fused one-pass backward where its picker accepts the shape (the
+    flash path always runs gb=1); otherwise the two-kernel backward
+    with the caller's backward-safe (bn, bm)."""
+    b, n, d = q.shape
+    m = k.shape[1]
+    if gb == 1:
+        fbn, fbm = _pick_flash_blocks_bwd_fused(n, m, d, v.shape[2])
+        if fbn and b * (m // fbm) * n * d * 4 <= DQ_SLAB_LIMIT:
+            return _flash_bwd_fused(q, k, v, o, lse, g, fbn, fbm,
+                                    interpret)
+    return _flash_bwd(q, k, v, o, lse, g, bn, bm, gb, interpret)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def _attention_flash(q, k, v, bn, bm, fbn, fbm, gb, interpret):
     """(bn, bm) are the backward-safe blocks; (fbn, fbm) the larger
@@ -534,7 +693,7 @@ def _attention_flash_fwd(q, k, v, bn, bm, fbn, fbm, gb, interpret):
 
 def _attention_flash_bwd(bn, bm, fbn, fbm, gb, interpret, res, g):
     q, k, v, o, lse = res
-    return _flash_bwd(q, k, v, o, lse, g, bn, bm, gb, interpret)
+    return _flash_bwd_dispatch(q, k, v, o, lse, g, bn, bm, gb, interpret)
 
 
 _attention_flash.defvjp(_attention_flash_fwd, _attention_flash_bwd)
@@ -674,7 +833,7 @@ def _flash_bwd_local(q, k, v, o, lse, g, interpret):
     n, d = q.shape[1:]
     m, c = k.shape[1], v.shape[2]
     bn, bm = _pick_flash_blocks(n, m, d, c)
-    return _flash_bwd(q, k, v, o, lse, g, bn, bm, 1, interpret)
+    return _flash_bwd_dispatch(q, k, v, o, lse, g, bn, bm, 1, interpret)
 
 
 _fwd_cp = _register_dim0(

@@ -156,6 +156,52 @@ def check_flash(results, dtype, tol_fwd, tol_bwd):
           flush=True)
 
 
+def check_flash_fused_bwd(results, dtype, tol):
+    """The fused one-pass backward (round 4) vs the two-kernel backward
+    at the REAL 256px shape — the einsum oracle cannot run there
+    ([N, M] = 64 GB fp32), so the previously-parity-checked two-kernel
+    path is the reference.  Differences are bf16 accumulation-order
+    only (dq partial-slab summation vs in-kernel accumulation)."""
+    from sagan_tpu.ops.pallas_attention import (_flash_bwd,
+                                                _flash_bwd_fused,
+                                                _flash_fwd,
+                                                _pick_flash_blocks,
+                                                _pick_flash_blocks_bwd_fused,
+                                                _pick_flash_blocks_fwd)
+
+    b, n, m, d, c = 4, 65536, 16384, 2, 8
+    key = jax.random.PRNGKey(11)
+    kq, kk, kv, kg = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (b, n, d), dtype)
+    k = jax.random.normal(kk, (b, m, d), dtype)
+    v = jax.random.normal(kv, (b, m, c), dtype)
+    ct = jax.random.normal(kg, (b, n, c), dtype)
+
+    fbn, fbm = _pick_flash_blocks_fwd(n, m, d, c)
+    o, lse = jax.jit(lambda q, k, v: _flash_fwd(q, k, v, fbn, fbm, 1))(
+        q, k, v)
+    ubn, ubm = _pick_flash_blocks_bwd_fused(n, m, d, c)
+    bn, bm = _pick_flash_blocks(n, m, d, c)
+    gf = jax.device_get(jax.jit(
+        lambda *a: _flash_bwd_fused(*a, ubn, ubm))(q, k, v, o, lse, ct))
+    g2 = jax.device_get(jax.jit(
+        lambda *a: _flash_bwd(*a, bn, bm, 1))(q, k, v, o, lse, ct))
+    grads, ok = {}, True
+    for nm, a, bb in zip("qkv", gf, g2):
+        ab, rel = _err(a, bb)
+        grads[f"d{nm}_max_abs"] = ab
+        grads[f"d{nm}_max_rel"] = rel
+        ok = ok and rel <= tol
+    results.append({
+        "kernel": "attention_flash_bwd_fused",
+        "case": f"256px_bn{ubn}_bm{ubm}_vs_twokernel",
+        "dtype": str(np.dtype(dtype)), "shape": [b, n, m, d, c],
+        **grads, "tol_bwd": tol, "ok": bool(ok),
+    })
+    print(f"attention_flash_bwd_fused {np.dtype(dtype)}: "
+          f"dq_rel={grads['dq_max_rel']:.2e} ok={ok}", flush=True)
+
+
 def sn_weight_shapes():
     """Every SN weight shape in both model families at the benchmark
     configs (church64 vanilla gf/df 16; imagenet128 resnet gf/df 64)."""
@@ -227,6 +273,7 @@ def main():
     check_attention(results, jnp.bfloat16, tol_fwd=2e-2, tol_bwd=5e-2)
     check_flash(results, jnp.float32, tol_fwd=1e-4, tol_bwd=1e-3)
     check_flash(results, jnp.bfloat16, tol_fwd=2e-2, tol_bwd=5e-2)
+    check_flash_fused_bwd(results, jnp.bfloat16, tol=5e-2)
     check_spectral_norm(results, tol=1e-4)
 
     payload = {
