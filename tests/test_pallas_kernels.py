@@ -256,6 +256,27 @@ def test_flash_fused_backward_matches_reference():
                                    err_msg=f"d{name} fused vs two-kernel")
 
 
+def test_flash_pickers_cover_512px_map():
+    """The 512px G map (N=262,144, M=65,536, d=2, c=8 at gf16) — two
+    stages past the reference's largest config — must dispatch to the
+    flash path with the fused backward: forward and fused-backward
+    pickers both accept it at the measured-best (512, 2048) blocks, and
+    the dq partial slab (B=4) stays inside DQ_SLAB_LIMIT.  Exercised on
+    hardware by artifacts/flash512_smoke."""
+    from sagan_tpu.ops.pallas_attention import (
+        DQ_SLAB_LIMIT, _pick_block, _pick_flash_blocks,
+        _pick_flash_blocks_bwd_fused, _pick_flash_blocks_fwd)
+
+    n, m, d, c = 512 * 512, 512 * 512 // 4, 2, 8
+    assert _pick_block(n, m, d, c) == 0          # not single-pass
+    assert _pick_flash_blocks_fwd(n, m, d, c) == (512, 2048)
+    assert _pick_flash_blocks(n, m, d, c)[0] > 0  # two-kernel fallback ok
+    fbn, fbm = _pick_flash_blocks_bwd_fused(n, m, d, c)
+    assert (fbn, fbm) == (512, 2048)
+    b = 4
+    assert b * (m // fbm) * n * d * 4 <= DQ_SLAB_LIMIT
+
+
 def test_fused_large_128px_map_matches_reference():
     """N=16384, M=4096 — the 128px attention placement (VERDICT shapes);
     the picker must shrink the query block to fit VMEM and stay exact."""
