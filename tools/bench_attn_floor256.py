@@ -30,14 +30,30 @@ Variants:
                      score recomputes go?)
   step/segments      full church256 train-step differential:
                      use_attention True vs False (what fraction of the
-                     432 ms/step is attention at all)
+                     step is attention at all)
 
 Run:  python tools/bench_attn_floor256.py   (ONE process on the real
 TPU; ~10-20 min cold, minutes warm via the compile cache).  Appends
-nothing; prints a table — copy measured conclusions into this
-docstring/README once the run happens, like the 64px study did.
-(NOT yet measured: numbers will be added from the real-hardware run;
-do not cite this study until they are.)
+nothing; prints a table.
+
+MEASURED (v5e, round 4 — artifacts/church256_flash/floor256_study.log):
+
+  fwd block sweep    shipped (BN=256, BM=1024) 86.8 ms; best
+                     (BN=512, BM=2048) 65.2 ms → forward picker split
+                     from the backward picker and retuned (adopted:
+                     _pick_flash_blocks_fwd)
+  fwd floors         noexp 70.2 ms, nomaxcorr 65.9 ms → the retuned
+                     forward (65.2 ms) is INSIDE the stripped-math
+                     floor band; no forward headroom left
+  folded_proj        106.9 ms vs 86.6 ms unfolded+XLA-proj → the
+                     projection mega-kernel is a measured NEGATIVE at
+                     256px too (score-tile traffic re-paid per key
+                     block); closed at both scales
+  bwd/current        213.4 ms (dq 91.0 + dkv 130.7) → motivated the
+                     fused one-pass backward (tools/bench_attn_bwd256.py,
+                     adopted: 135.7 ms, −36%)
+  step/segments      attention = 96.3% of the 256px step
+                     (400.6 vs 15.0 ms/step with attention off)
 """
 
 import os
