@@ -7,7 +7,17 @@
 # the fused one-pass backward picks BN=512/BM=2048 with a 256 MB dq
 # partial slab (within DQ_SLAB_LIMIT).  Goal: finite losses + grids for
 # a few epochs, demonstrating the kernel/VMEM accounting holds one
-# doubling beyond everything benchmarked.  Dataset (hermetic):
+# doubling beyond everything benchmarked.
+#
+# This config is the run that CAUGHT the dq-slab layout bug: with the
+# slab emitted [B, nk, N, D], the forced major-to-minor Pallas output
+# layout lane-padded D=2 to 128 — the 256 MB slab ballooned to 16 GB
+# and the B=4 step OOMed at compile (17.93 GiB needed vs 15.75 GiB v5e
+# HBM; remat barely moved it — 17.83 GiB — because the residuals were
+# never the problem).  The slab is now emitted transposed [B, nk, D, N]
+# (ops/pallas_attention.py), the step fits WITHOUT remat, and the same
+# fix measured a further 15% off the fused backward at the 256px
+# training shape (tools/bench_dq_slab_layout.py).  Dataset (hermetic):
 #   python -m sagan_tpu.data.synthetic data/synthetic_512 --num 512 \
 #       --img_size 512 --num_classes 4
 # Reference anchor: /root/reference/sagan/models/layers.py:94-116

@@ -219,19 +219,35 @@ def remat_span(cx: Ctx, fn: Callable, *args):
     (same path, params, aux), so ``sub.call(child, ...)``, aux updates,
     and rng-key folding behave identically to the unrematted path; aux
     updates recorded inside the span are merged back into ``cx``.
-    Numerics are unchanged — recomputation is deterministic.
+    Specifically: the span Ctx (a) continues the parent's ``make_rng``
+    call counter — a direct ``make_rng()`` at stage level draws the same
+    key sequence remat on or off — and (b) is seeded with the parent's
+    pending aux updates under this module's path, so ``get_aux`` of a
+    value written earlier in the same forward reads the fresh value, not
+    the stale pre-forward aux.  Numerics are unchanged — recomputation
+    is deterministic.
 
     Array arguments must be passed via ``*args`` (not closed over):
     closed-over tracers are saved as residuals, defeating the point.
     """
-    def pure(params, aux, rng, args):
-        updates: dict = {}
+    prefix = cx.path
+    seed = {k: v for k, v in cx.updates.items() if k[: len(prefix)] == prefix}
+    rng_start = cx._rng_calls
+    rng_end: list = []  # captured at trace time (appended again on the
+    # checkpoint recompute trace with the same value; [0] is canonical)
+
+    def pure(params, aux, rng, seed, args):
+        updates: dict = dict(seed)
         sub = Ctx(cx.module, params, aux, updates, cx.train, cx.axis, rng,
                   cx.path, cx.bn_accum)
+        sub._rng_calls = rng_start
         out = fn(sub, *args)
+        rng_end.append(sub._rng_calls)
         return out, updates
 
-    out, updates = jax.checkpoint(pure)(cx.params, cx.aux, cx.rng, args)
+    out, updates = jax.checkpoint(pure)(cx.params, cx.aux, cx.rng, seed, args)
+    if rng_end:
+        cx._rng_calls = rng_end[0]
     cx.updates.update(updates)
     return out
 

@@ -46,13 +46,20 @@ full probability row.  Two backward strategies:
   grid (key blocks outer, query blocks inner) recomputes each [BN, BM]
   score tile once and produces *all three* gradients from it — dK/dV
   accumulate in place across the query axis, and the tile's dQ
-  contribution is written to a per-key-block slab [B, nk, N, D] that a
-  single XLA reduction sums afterwards (≈ nk·N·D fp32 of extra HBM
-  traffic, ~0.2 ms at the 256px shape — against a saved full second
-  score-recompute pass).  Measured on the v5e at the 256px G map
-  (B=16, N=65536, M=16384, d=2 — tools/bench_attn_bwd256.py, round 4):
-  135.7 ms vs 213.4 ms for the two-kernel backward (BN=512/BM=2048 vs
-  the two-kernel path's backward-safe BN=256/BM=1024), a 36% cut.
+  contribution is written to a per-key-block slab that a single XLA
+  reduction sums afterwards.  The slab is emitted TRANSPOSED,
+  [B, nk, D, N]: a Pallas output's HBM layout is forced major-to-minor,
+  and with D minor the (8, 128) tiling lane-pads D → 64× the bytes at
+  d = 2 (the natural [B, nk, N, D] slab hit a 16 GB compile-time HBM
+  OOM at the 512px shape and silently carried ~4 GB + 64× the write
+  traffic at 256px); with N minor the slab only sublane-pads D (2 → 8),
+  ≈ nk·8·N fp32 of extra HBM traffic against a saved full second
+  score-recompute pass.  Measured on the v5e at the 256px G map
+  (B=16, N=65536, M=16384, d=2 — tools/bench_attn_bwd256.py +
+  tools/bench_dq_slab_layout.py, round 4): 114.8 ms vs 212.3 ms for
+  the two-kernel backward (BN=512/BM=2048 vs the two-kernel path's
+  backward-safe BN=256/BM=1024), a 46% cut (36% from the fusion,
+  a further 15% from the transposed slab).
 * **two kernels** (fallback for shapes the fused picker rejects): dQ
   with the key axis innermost, then dK/dV with the query axis
   innermost — each recomputing the score tile independently.
@@ -81,6 +88,11 @@ def _lanes(dim: int) -> int:
     OOMed scoped VMEM at M=16384 (the 256px G map, 40 MB actual vs
     5 MB estimated)."""
     return -(-dim // 128) * 128
+
+
+def _sublanes(dim: int) -> int:
+    """Padded width of a second-minor dim (fp32 sublane tile = 8)."""
+    return -(-dim // 8) * 8
 
 
 def _bwd_vmem_bytes(block_n: int, m: int, d: int, c: int) -> int:
@@ -436,25 +448,30 @@ def _flash_dq_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref, dq_ref,
         dq_ref[...] = dqa[...].astype(dq_ref.dtype)
 
 
-def _flash_dkv_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref,
-                      dk_ref, dv_ref):
-    nidx = pl.program_id(2)
-    q = q_ref[...]                                 # [G, BN, D]
-    k = k_ref[...]                                 # [G, BM, D]
-    v = v_ref[...]                                 # [G, BM, C]
-    g = g_ref[...]                                 # [G, BN, C]
+def _bwd_tile_grads(q, k, v, g, o, lse):
+    """Shared backward tile math (used by the two-kernel dK/dV pass and
+    the fused one-pass backward — ONE definition so a precision/identity
+    fix cannot skew fused-vs-two-kernel parity): recompute the
+    [G, BN, BM] score tile, apply the flash identity δ=dO·O, and return
+    (p, dlog, prec)."""
     prec = _prec(q.dtype)
     s = lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                         preferred_element_type=jnp.float32,
                         precision=prec)            # [G, BN, BM]
-    p = jnp.exp(s - lse_ref[...])
-    delta = jnp.sum(g.astype(jnp.float32) * o_ref[...].astype(jnp.float32),
+    p = jnp.exp(s - lse)
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
                     axis=-1, keepdims=True)        # [G, BN, 1]
     dp = lax.dot_general(g, v, (((2,), (2,)), ((0,), (0,))),
                          preferred_element_type=jnp.float32,
                          precision=prec)           # [G, BN, BM]
     dlog = (p * (dp - delta)).astype(k.dtype)
+    return p, dlog, prec
 
+
+def _accum_dkv(nidx, q, g, v_dtype, p, dlog, prec, dk_ref, dv_ref):
+    """Zero-init at the first query block, then accumulate this query
+    block's dK/dV contributions in place (grid revisits the same output
+    block across the innermost query axis)."""
     @pl.when(nidx == 0)
     def _():
         dk_ref[...] = jnp.zeros_like(dk_ref[...])
@@ -464,8 +481,19 @@ def _flash_dkv_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref,
         dlog, q, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32, precision=prec)
     dv_ref[...] += lax.dot_general(
-        p.astype(v.dtype), g, (((1,), (1,)), ((0,), (0,))),
+        p.astype(v_dtype), g, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32, precision=prec)
+
+
+def _flash_dkv_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref,
+                      dk_ref, dv_ref):
+    nidx = pl.program_id(2)
+    q = q_ref[...]                                 # [G, BN, D]
+    v = v_ref[...]                                 # [G, BM, C]
+    g = g_ref[...]                                 # [G, BN, C]
+    p, dlog, prec = _bwd_tile_grads(q, k_ref[...], v, g,
+                                    o_ref[...], lse_ref[...])
+    _accum_dkv(nidx, q, g, v.dtype, p, dlog, prec, dk_ref, dv_ref)
 
 
 def _flash_bwd(q, k, v, o, lse, g, bn, bm, gb, interpret=False):
@@ -544,10 +572,18 @@ def _flash_bwd(q, k, v, o, lse, g, bn, bm, gb, interpret=False):
 # fused kernel holds only ONE generation of score tiles (s/p + dp fp32
 # + dlog bf16) plus the dK/dV accumulators, and the (512, 2048) config
 # compiled and ran on the real v5e (tools/bench_attn_bwd256.py).
+# Coverage note: the estimator lane-pads d and c, so EVERY d, c ≤ 128
+# picks the same blocks and occupies the same padded VMEM footprint the
+# 256px run proved on hardware — the near-limit budget is not an
+# extrapolation for those shapes.  Head widths past one 128-lane tile
+# (via attn_qk_dim/attn_v_dim) do grow residency; the d=128/c=256
+# stress case in tools/pallas_parity.py compiles + runs the picker's
+# choice there on the real chip (PARITY_TPU.json).
 BWD_FUSED_VMEM_BUDGET = 15 * 1024 * 1024
-# HBM cap for the dq partial slab [B, nk, N, D] fp32 (67 MB at the
-# 256px shape); shapes that would blow past this fall back to the
-# two-kernel backward.
+# HBM cap for the dq partial slab [B, nk, D, N] fp32, counted at the
+# laid-out size (D sublane-pads to 8: 268 MB at the 256px training
+# shape, exactly 1 GiB at the 512px B=4 shape); shapes past this fall
+# back to the two-kernel backward.
 DQ_SLAB_LIMIT = 1024 * 1024 * 1024
 
 
@@ -555,12 +591,13 @@ def _flash_bwd_fused_vmem_bytes(bn: int, bm: int, d: int, c: int) -> int:
     """Per-batch-element resident bytes of the fused backward kernel:
     two fp32 [BN, BM] tiles (p and dp) + the bf16 dlog tile + k/v key
     blocks + fp32 dK/dV accumulators + q/g/o row blocks + lse + the
-    fp32 dq-partial out block, at lane-padded widths (see _lanes)."""
+    fp32 dq-partial out block ([D, BN], transposed — D sublane-pads to
+    8, BN is lane-aligned), at padded widths (see _lanes/_sublanes)."""
     dc = _lanes(d) + _lanes(c)
     tiles = bn * _lanes(bm) * (4 + 4 + 2)
     keys = bm * dc * (2 + 4)
     rows = bn * (_lanes(d) + 2 * _lanes(c)) * 2 + bn * 128 * 4 \
-        + bn * _lanes(d) * 4
+        + _sublanes(d) * _lanes(bn) * 4
     return tiles + keys + rows
 
 
@@ -595,31 +632,18 @@ def _flash_dqkv_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref,
     k = k_ref[...]                                 # [1, BM, D]
     v = v_ref[...]                                 # [1, BM, C]
     g = g_ref[...]                                 # [1, BN, C]
-    prec = _prec(q.dtype)
-    s = lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
-                        preferred_element_type=jnp.float32,
-                        precision=prec)            # [1, BN, BM]
-    p = jnp.exp(s - lse_ref[...])
-    delta = jnp.sum(g.astype(jnp.float32) * o_ref[...].astype(jnp.float32),
-                    axis=-1, keepdims=True)        # [1, BN, 1]
-    dp = lax.dot_general(g, v, (((2,), (2,)), ((0,), (0,))),
-                         preferred_element_type=jnp.float32,
-                         precision=prec)           # [1, BN, BM]
-    dlog = (p * (dp - delta)).astype(k.dtype)
-
-    @pl.when(nidx == 0)
-    def _():
-        dk_ref[...] = jnp.zeros_like(dk_ref[...])
-        dv_ref[...] = jnp.zeros_like(dv_ref[...])
-
-    dk_ref[...] += lax.dot_general(
-        dlog, q, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32, precision=prec)
-    dv_ref[...] += lax.dot_general(
-        p.astype(v.dtype), g, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32, precision=prec)
+    p, dlog, prec = _bwd_tile_grads(q, k, v, g, o_ref[...], lse_ref[...])
+    _accum_dkv(nidx, q, g, v.dtype, p, dlog, prec, dk_ref, dv_ref)
+    # dq contribution emitted TRANSPOSED ([1, 1, D, BN], query tokens in
+    # the lane axis) by contracting the other way on the MXU: the
+    # natural [.., BN, D] layout puts D minor, and the forced
+    # major-to-minor HBM layout of a Pallas output lane-pads D → the
+    # [B, nk, N, D] slab ballooned 64x at d=2 (256 MB → 16 GB at the
+    # 512px shape — a compile-time HBM OOM, and 64x the real write
+    # traffic everywhere else).  [B, nk, D, N] only sublane-pads D
+    # (2 → 8, 4x), and N is already lane-aligned.
     dqp_ref[...] = lax.dot_general(
-        dlog, k, (((2,), (1,)), ((0,), (0,))),
+        k, dlog, (((1,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32, precision=prec)[:, None]
 
 
@@ -650,17 +674,17 @@ def _flash_bwd_fused(q, k, v, o, lse, g, bn, bm, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bm, c), lambda i, mm, j: (i, mm, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bn, d), lambda i, mm, j: (i, mm, j, 0),
+            pl.BlockSpec((1, 1, d, bn), lambda i, mm, j: (i, mm, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, m, d), jnp.float32),
             jax.ShapeDtypeStruct((b, m, c), jnp.float32),
-            jax.ShapeDtypeStruct((b, nk, n, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, nk, d, n), jnp.float32),
         ],
         interpret=interpret,
     )(q, k, v, g, o, lse)
-    dq = jnp.sum(dqp, axis=1).astype(q.dtype)
+    dq = jnp.swapaxes(jnp.sum(dqp, axis=1), 1, 2).astype(q.dtype)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
@@ -672,7 +696,7 @@ def _flash_bwd_dispatch(q, k, v, o, lse, g, bn, bm, gb, interpret):
     m = k.shape[1]
     if gb == 1:
         fbn, fbm = _pick_flash_blocks_bwd_fused(n, m, d, v.shape[2])
-        if fbn and b * (m // fbm) * n * d * 4 <= DQ_SLAB_LIMIT:
+        if fbn and b * (m // fbm) * _sublanes(d) * n * 4 <= DQ_SLAB_LIMIT:
             return _flash_bwd_fused(q, k, v, o, lse, g, fbn, fbm,
                                     interpret)
     return _flash_bwd(q, k, v, o, lse, g, bn, bm, gb, interpret)

@@ -160,3 +160,60 @@ def test_remat_reduces_saved_residuals():
     # at 64px the unrematted graph saves every interior activation of
     # every stage; the spans should cut saved bytes by a large factor
     assert sizes[True] < 0.7 * sizes[False], sizes
+
+
+def test_remat_span_rng_and_aux_threading():
+    """Direct make_rng calls at stage level and aux read-through across
+    spans must behave IDENTICALLY remat on/off (the documented contract):
+    the span Ctx continues the parent's rng-call counter (distinct,
+    sequence-identical keys per span) and sees aux values written by an
+    earlier span in the same forward."""
+    from sagan_tpu.nn.module import Module, remat_span
+
+    class Probe(Module):
+        def __init__(self):
+            super().__init__()
+            self.aux_spec("carry", (4,), lambda k, s, d: jnp.zeros(s, d))
+            self.param_spec("w", (4,), lambda k, s, d: jnp.ones(s, d))
+
+        def forward(self, cx, x, remat):
+            def stage1(sub, x):
+                noise = jax.random.normal(sub.make_rng(), x.shape)
+                sub.put_aux("carry", x.sum(0))
+                return x + 0.1 * noise
+            def stage2(sub, x):
+                noise = jax.random.normal(sub.make_rng(), x.shape)
+                carry = sub.get_aux("carry")  # stage1's write, not init
+                return x * sub.param("w") + 0.1 * noise + carry
+            if remat:
+                x = remat_span(cx, stage1, x)
+                x = remat_span(cx, stage2, x)
+            else:
+                x = stage1(cx, x)
+                x = stage2(cx, x)
+            return x
+
+    probe = Probe()
+    v = probe.init(KEY)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 4))
+    rng = jax.random.PRNGKey(11)
+
+    outs, auxs, grads = {}, {}, {}
+    for remat in (False, True):
+        def loss(params):
+            out, new_aux = probe({"params": params, "aux": v["aux"]},
+                                 x, remat, train=True, rng=rng)
+            return jnp.sum(out ** 2), (out, new_aux)
+        (l, (out, new_aux)), g = jax.value_and_grad(
+            loss, has_aux=True)(v["params"])
+        outs[remat], auxs[remat], grads[remat] = out, new_aux, g
+
+    _tree_allclose(outs[False], outs[True])
+    _tree_allclose(auxs[False], auxs[True])
+    _tree_allclose(grads[False], grads[True])
+    # the two stages must have drawn DIFFERENT keys (counter advanced
+    # across spans); with a stuck counter stage2's noise would equal
+    # stage1's, and out would differ from the unrematted graph anyway —
+    # but assert the carry read-through explicitly too:
+    np.testing.assert_allclose(np.asarray(auxs[True]["carry"]),
+                               np.asarray(x.sum(0)), rtol=1e-6)

@@ -31,6 +31,12 @@ kernels dq 80.2 + dkv 106.1 = 186.3 ms; best fused (BN=512, BM=2048)
 **135.7 ms** — ADOPTED as _flash_bwd_fused in ops/pallas_attention.py
 (dispatched by _flash_bwd_dispatch; every BM=512 fused variant died in
 the Mosaic pipeline, hence the picker's BM ≥ 1024 floor).
+
+FOLLOW-UP (this round): the shipped fused kernel now emits the dq slab
+transposed [B, nk, D, N] — the [.., N, D] layout here lane-padded D=2
+to 128 (64x the HBM bytes/traffic) — and measures 114.8 ms at this
+shape (tools/bench_dq_slab_layout.py).  This script's local kernels
+keep the original layout for the historical record.
 """
 
 import functools

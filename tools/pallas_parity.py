@@ -156,12 +156,22 @@ def check_flash(results, dtype, tol_fwd, tol_bwd):
           flush=True)
 
 
-def check_flash_fused_bwd(results, dtype, tol):
+def check_flash_fused_bwd(results, dtype, tol, shape=(4, 65536, 16384, 2, 8),
+                          case=None):
     """The fused one-pass backward (round 4) vs the two-kernel backward
     at the REAL 256px shape — the einsum oracle cannot run there
     ([N, M] = 64 GB fp32), so the previously-parity-checked two-kernel
     path is the reference.  Differences are bf16 accumulation-order
-    only (dq partial-slab summation vs in-kernel accumulation)."""
+    only (dq partial-slab summation vs in-kernel accumulation).
+
+    Also run with VMEM-budget STRESS shapes (see main): the block
+    pickers' estimators lane-pad d and c, so every d, c ≤ 128 occupies
+    the padded footprint the 256px d=2/c=8 run already proved on
+    hardware — but head widths PAST one 128-lane tile (attn_qk_dim /
+    attn_v_dim overrides) genuinely grow residency, and compiling +
+    running the picker's near-limit choice there is the only evidence
+    the ~1 MiB estimate-error headroom holds (Mosaic scoped-VMEM
+    failures are compile-time crashes, not catchable fallbacks)."""
     from sagan_tpu.ops.pallas_attention import (_flash_bwd,
                                                 _flash_bwd_fused,
                                                 _flash_fwd,
@@ -169,7 +179,7 @@ def check_flash_fused_bwd(results, dtype, tol):
                                                 _pick_flash_blocks_bwd_fused,
                                                 _pick_flash_blocks_fwd)
 
-    b, n, m, d, c = 4, 65536, 16384, 2, 8
+    b, n, m, d, c = shape
     key = jax.random.PRNGKey(11)
     kq, kk, kv, kg = jax.random.split(key, 4)
     q = jax.random.normal(kq, (b, n, d), dtype)
@@ -192,14 +202,16 @@ def check_flash_fused_bwd(results, dtype, tol):
         grads[f"d{nm}_max_abs"] = ab
         grads[f"d{nm}_max_rel"] = rel
         ok = ok and rel <= tol
+    label = case or "256px"
     results.append({
         "kernel": "attention_flash_bwd_fused",
-        "case": f"256px_bn{ubn}_bm{ubm}_vs_twokernel",
+        "case": f"{label}_bn{ubn}_bm{ubm}_vs_twokernel",
         "dtype": str(np.dtype(dtype)), "shape": [b, n, m, d, c],
         **grads, "tol_bwd": tol, "ok": bool(ok),
     })
-    print(f"attention_flash_bwd_fused {np.dtype(dtype)}: "
-          f"dq_rel={grads['dq_max_rel']:.2e} ok={ok}", flush=True)
+    print(f"attention_flash_bwd_fused {label} {np.dtype(dtype)}: "
+          f"blocks=({ubn},{ubm}) dq_rel={grads['dq_max_rel']:.2e} ok={ok}",
+          flush=True)
 
 
 def sn_weight_shapes():
@@ -274,6 +286,19 @@ def main():
     check_flash(results, jnp.float32, tol_fwd=1e-4, tol_bwd=1e-3)
     check_flash(results, jnp.bfloat16, tol_fwd=2e-2, tol_bwd=5e-2)
     check_flash_fused_bwd(results, jnp.bfloat16, tol=5e-2)
+    # VMEM-budget stress: head widths past one 128-lane tile are the
+    # only regime whose footprint differs from the hardware-proven
+    # 256px case (the estimators lane-pad d, c ≤ 128 to the identical
+    # residency).  d=128/c=256 forces the fused picker down to
+    # (256, 2048) at ~10.5 MiB and the forward to its near-limit pick —
+    # compile + run + parity here is the evidence the headroom holds
+    # where attn_qk_dim/attn_v_dim overrides can actually reach.
+    check_flash_fused_bwd(results, jnp.bfloat16, tol=5e-2,
+                          shape=(1, 8192, 4096, 128, 256),
+                          case="wide_head_d128_c256")
+    check_flash_fused_bwd(results, jnp.bfloat16, tol=5e-2,
+                          shape=(1, 16384, 16384, 8, 32),
+                          case="mid_head_d8_c32")
     check_spectral_norm(results, tol=1e-4)
 
     payload = {
