@@ -147,11 +147,36 @@ def load_generator_npz(config: dict, path: str):
     return gen, out
 
 
+def build_serve_fn(gen):
+    """Jitted serving path: (variables, latents, labels) → **uint8**
+    images, de-normalized ON DEVICE.
+
+    The float sample path (:func:`~sagan_tpu.train.trainer.build_sample_fn`)
+    fetches float32 [-1, 1] images and de-normalizes on the host; every
+    serving consumer (PNG grid, npz archive, an HTTP byte stream)
+    ultimately wants ``uint8(x·127.5 + 127.5)``, so emitting uint8 from
+    the device moves 4× fewer bytes over the host link — the dominant
+    serving cost for a remote/tunneled accelerator (measured:
+    tools/bench_generate.py).  Matches ``utils.images.denormalize``
+    within ±1 LSB (f32 rounding of ties may differ between XLA and
+    numpy)."""
+
+    def serve(vars_g, z, labels):
+        imgs, _ = gen(vars_g, z, labels, train=False)
+        x = imgs.astype(jnp.float32) * 127.5 + 127.5
+        return jnp.clip(x, 0, 255).astype(jnp.uint8)
+
+    return jax.jit(serve)
+
+
 def sample_images(gen, eval_vars, num: int, batch: int, z_dim: int,
                   num_classes: int, seed: int = 0, truncation: float = 0.0,
-                  class_id: int = -1) -> np.ndarray:
-    """Generate ``num`` images → float array [num, H, W, 3] in [-1, 1]."""
-    sample_fn = build_sample_fn(gen, mesh=None)
+                  class_id: int = -1, as_uint8: bool = False) -> np.ndarray:
+    """Generate ``num`` images → [num, H, W, 3]: float in [-1, 1], or
+    de-normalized uint8 when ``as_uint8`` (device-side conversion, 4×
+    smaller host fetch — the CLI's path)."""
+    sample_fn = (build_serve_fn(gen) if as_uint8
+                 else build_sample_fn(gen, mesh=None))
     key = jax.random.PRNGKey(seed)
     out = []
     for begin in range(0, num, batch):
@@ -244,7 +269,8 @@ def main(argv=None):
         gen, eval_vars, num=args.num, batch=args.batch,
         z_dim=config["z_dim"],
         num_classes=num_classes,
-        seed=args.seed, truncation=args.truncation, class_id=args.class_id)
+        seed=args.seed, truncation=args.truncation, class_id=args.class_id,
+        as_uint8=True)
 
     out_dir = args.out or os.path.join(
         "samples", os.path.splitext(os.path.basename(args.config_path))[0])
@@ -256,8 +282,8 @@ def main(argv=None):
         written.append(path)
     if args.format in ("npz", "both"):
         path = os.path.join(out_dir, f"samples_seed{args.seed}.npz")
-        from .utils.images import denormalize
-        np.savez_compressed(path, images=denormalize(imgs))
+        # imgs is already device-denormalized uint8 (build_serve_fn)
+        np.savez_compressed(path, images=imgs)
         written.append(path)
     print(f"wrote {args.num} samples: " + ", ".join(written))
     return written

@@ -1,0 +1,239 @@
+"""Minimal production inference server: trained generator → HTTP.
+
+The reference has no serving story at all (generation exists only as a
+training side effect, /root/reference/sagan/main.py:289-320).  This
+module completes the deployment chain begun by ``generate --export``:
+
+    python -m sagan_tpu.generate --config_path cfg.py --export g.npz
+    python -m sagan_tpu.serve --config_path cfg.py --weights g.npz \
+        [--port 8000] [--batch 64] [--host 127.0.0.1]
+
+stdlib-only HTTP (``http.server.ThreadingHTTPServer``) in front of the
+jitted device-side-uint8 serve path (:func:`sagan_tpu.generate.
+build_serve_fn`).  TPU-first serving design:
+
+* **one static batch shape**, compiled once at startup — requests are
+  rounded up to ``--batch`` and sliced, so no request shape ever
+  triggers an XLA recompile (40-300 s on a remote TPU);
+* **device-side de-normalization** — the host fetch (the dominant cost
+  for a tunneled chip, tools/bench_generate.py) moves uint8, 4× fewer
+  bytes than float32;
+* **a single inference lock** — one TPU program in flight at a time;
+  concurrent HTTP readers queue (throughput comes from batching, not
+  from racing programs into one chip).
+
+Endpoints:
+  GET /healthz                          → 200 "ok" once the model is hot
+  GET /meta                             → model geometry JSON
+  GET /sample?n=16&seed=0&class_id=-1&truncation=0&format=png|npz|raw
+      → image grid PNG (default), an npz of uint8 images, or raw
+        uint8 bytes (shape in X-Image-Shape, for zero-copy pipelines)
+
+``--weights`` (exported npz) needs no checkpoint tree on the box;
+without it the latest checkpoint under the config's ``ckpt_dir`` is
+restored (EMA generator when tracked).
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from .utils.cache import enable_compilation_cache
+
+
+class GeneratorService:
+    """Owns the jitted serve function and the inference lock."""
+
+    def __init__(self, gen, eval_vars, z_dim: int, num_classes: int,
+                 batch: int, seed: int = 0):
+        import jax
+
+        from .generate import build_serve_fn
+
+        self.z_dim = z_dim
+        self.num_classes = max(1, num_classes)
+        self.batch = batch
+        self._vars = eval_vars
+        self._fn = build_serve_fn(gen)
+        self._lock = threading.Lock()
+        self._key = jax.random.PRNGKey(seed)
+        # compile + execute once so /healthz reflects a hot model
+        import jax.numpy as jnp
+        z = jnp.zeros((batch, z_dim), jnp.float32)
+        labels = jnp.zeros((batch,), jnp.int32)
+        self.img_size = int(np.asarray(
+            jax.device_get(self._fn(self._vars, z, labels))).shape[1])
+
+    def sample(self, n: int, seed: int | None, class_id: int,
+               truncation: float) -> np.ndarray:
+        """n uint8 images [n, H, W, 3]; rounds up to the compiled batch
+        internally (no recompile), slices to n."""
+        import jax
+        import jax.numpy as jnp
+
+        out = []
+        with self._lock:
+            if seed is not None:
+                key = jax.random.PRNGKey(seed)
+            else:
+                self._key, key = jax.random.split(self._key)
+            for _ in range(-(-n // self.batch)):
+                key, kz, kl = jax.random.split(key, 3)
+                if truncation and truncation > 0:
+                    z = jax.random.truncated_normal(
+                        kz, -truncation, truncation,
+                        (self.batch, self.z_dim))
+                else:
+                    z = jax.random.normal(kz, (self.batch, self.z_dim))
+                if class_id >= 0:
+                    labels = jnp.full((self.batch,), class_id, jnp.int32)
+                else:
+                    labels = jax.random.randint(
+                        kl, (self.batch,), 0, self.num_classes)
+                out.append(np.asarray(
+                    jax.device_get(self._fn(self._vars, z, labels))))
+        return np.concatenate(out)[:n]
+
+
+def _make_handler(svc: GeneratorService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # stderr noise → off
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str,
+                  extra: dict | None = None):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            for k, v in (extra or {}).items():
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            try:
+                if url.path == "/healthz":
+                    return self._send(200, b"ok", "text/plain")
+                if url.path == "/meta":
+                    meta = {"img_size": svc.img_size, "z_dim": svc.z_dim,
+                            "num_classes": svc.num_classes,
+                            "batch": svc.batch}
+                    return self._send(
+                        200, json.dumps(meta).encode(), "application/json")
+                if url.path == "/sample":
+                    q = parse_qs(url.query)
+
+                    def one(name, cast, default):
+                        return cast(q[name][0]) if name in q else default
+
+                    n = min(max(one("n", int, 16), 1), 4096)
+                    seed = one("seed", int, None)
+                    class_id = one("class_id", int, -1)
+                    if class_id >= svc.num_classes:
+                        return self._send(
+                            400, f"class_id {class_id} out of range "
+                            f"(num_classes={svc.num_classes})".encode(),
+                            "text/plain")
+                    trunc = one("truncation", float, 0.0)
+                    fmt = one("format", str, "png")
+                    imgs = svc.sample(n, seed, class_id, trunc)
+                    if fmt == "npz":
+                        buf = io.BytesIO()
+                        np.savez_compressed(buf, images=imgs)
+                        return self._send(200, buf.getvalue(),
+                                          "application/octet-stream")
+                    if fmt == "raw":
+                        return self._send(
+                            200, imgs.tobytes(), "application/octet-stream",
+                            {"X-Image-Shape":
+                             "x".join(map(str, imgs.shape)),
+                             "X-Image-Dtype": "uint8"})
+                    from PIL import Image
+
+                    from .utils.images import make_grid
+                    buf = io.BytesIO()
+                    Image.fromarray(make_grid(imgs)).save(buf, format="PNG")
+                    return self._send(200, buf.getvalue(), "image/png")
+                return self._send(404, b"not found", "text/plain")
+            except BrokenPipeError:
+                pass
+            except Exception as e:  # surface, don't kill the thread
+                try:
+                    self._send(500, f"{type(e).__name__}: {e}".encode(),
+                               "text/plain")
+                except Exception:
+                    pass
+
+    return Handler
+
+
+def make_server(svc: GeneratorService, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    """Bound-but-not-serving server (call ``serve_forever``); port 0
+    picks a free port (``server_address[1]`` has the real one)."""
+    return ThreadingHTTPServer((host, port), _make_handler(svc))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="serve a trained sagan-tpu generator over HTTP")
+    ap.add_argument("--config_path", required=True)
+    ap.add_argument("--weights", default=None,
+                    help="exported generator .npz (generate --export); "
+                         "default: latest checkpoint under ckpt_dir")
+    ap.add_argument("--step", type=int, default=None,
+                    help="restore this checkpointed step (default latest)")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--batch", type=int, default=64,
+                    help="compiled serving batch (requests round up)")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    enable_compilation_cache()
+    import os
+    import sys
+
+    from .utils.config import load_config_file, resolve_config
+    from .utils.device import wait_for_devices
+    wait_for_devices(stream=sys.stderr)
+
+    config = resolve_config(load_config_file(args.config_path))
+    from .generate import load_generator_npz, restore_eval_state
+    if "img_size" not in config or "num_classes" not in config:
+        if args.weights and os.path.exists(args.weights):
+            with np.load(args.weights) as data:
+                for k in ("img_size", "num_classes"):
+                    if f"meta/{k}" in data:
+                        config.setdefault(k, int(data[f"meta/{k}"]))
+        if "img_size" not in config:
+            from .data.tfrecord import load_metadata
+            config.update(load_metadata(config["data_path"]))
+    if args.weights:
+        gen, eval_vars = load_generator_npz(config, args.weights)
+    else:
+        gen, eval_vars = restore_eval_state(config, step=args.step)
+    svc = GeneratorService(
+        gen, eval_vars, z_dim=config["z_dim"],
+        num_classes=config.get("num_classes", 1), batch=args.batch,
+        seed=args.seed)
+    srv = make_server(svc, args.host, args.port)
+    host, port = srv.server_address[:2]
+    print(f"serving {svc.img_size}px generator on http://{host}:{port} "
+          f"(batch {svc.batch})", flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()
+
+
+if __name__ == "__main__":
+    main()

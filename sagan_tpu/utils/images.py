@@ -32,7 +32,9 @@ def make_grid(images: np.ndarray, pad: int = 2) -> np.ndarray:
     side = int(np.ceil(np.sqrt(n)))
     grid = np.zeros((side * (h + pad) - pad, side * (w + pad) - pad, c),
                     np.uint8)
-    u8 = denormalize(images)
+    # uint8 input = already de-normalized (the device-side serving path,
+    # generate.build_serve_fn, fetches uint8 to cut host-transfer bytes)
+    u8 = images if images.dtype == np.uint8 else denormalize(images)
     for i in range(n):
         col, r = divmod(i, side)
         grid[r * (h + pad):r * (h + pad) + h,

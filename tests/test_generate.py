@@ -57,6 +57,32 @@ def test_generate_cli_end_to_end(tmp_path):
     assert data["images"].dtype == np.uint8
 
 
+def test_serve_uint8_matches_host_denormalize(tmp_path):
+    """Device-side uint8 serving path (build_serve_fn) equals the float
+    sample path + host denormalize within 1 LSB (f32 rounding of values
+    landing exactly on integer boundaries may differ XLA vs numpy)."""
+    cfg = _train_tiny(tmp_path)
+    from sagan_tpu import generate
+    from sagan_tpu.utils.images import denormalize
+
+    gen, eval_vars = generate.restore_eval_state(cfg)
+    kw = dict(z_dim=cfg["z_dim"], num_classes=1, seed=7)
+    f = generate.sample_images(gen, eval_vars, num=6, batch=4, **kw)
+    u = generate.sample_images(gen, eval_vars, num=6, batch=4,
+                               as_uint8=True, **kw)
+    assert u.dtype == np.uint8 and u.shape == f.shape
+    diff = np.abs(u.astype(np.int16) - denormalize(f).astype(np.int16))
+    assert diff.max() <= 1
+
+
+def test_make_grid_accepts_uint8():
+    from sagan_tpu.utils.images import denormalize, make_grid
+
+    rng = np.random.default_rng(0)
+    f = rng.uniform(-1, 1, (5, 8, 8, 3)).astype(np.float32)
+    assert np.array_equal(make_grid(denormalize(f)), make_grid(f))
+
+
 def test_generate_truncation_narrows_latents(tmp_path):
     cfg = _train_tiny(tmp_path)
     from sagan_tpu import generate
