@@ -22,9 +22,15 @@ build_serve_fn`).  TPU-first serving design:
   concurrent HTTP readers queue (throughput comes from batching, not
   from racing programs into one chip).
 
+* **data-parallel scale-out** (``--num_devices m``) — parameters
+  replicated on a 1-D ICI mesh, the latent batch sharded on ``data``;
+  generation is pure per-example compute, so GSPMD inserts zero
+  collectives and serving throughput scales with chips.
+
 Endpoints:
   GET /healthz                          → 200 "ok" once the model is hot
   GET /meta                             → model geometry JSON
+  GET /metrics                          → Prometheus-style counters
   GET /sample?n=16&seed=0&class_id=-1&truncation=0&format=png|npz|raw
       → image grid PNG (default), an npz of uint8 images, or raw
         uint8 bytes (shape in X-Image-Shape, for zero-copy pipelines)
@@ -49,27 +55,52 @@ from .utils.cache import enable_compilation_cache
 
 
 class GeneratorService:
-    """Owns the jitted serve function and the inference lock."""
+    """Owns the jitted serve function and the inference lock.
+
+    ``num_devices > 1`` serves data-parallel over a 1-D ICI mesh:
+    parameters replicated, the latent batch sharded on ``data`` — each
+    chip generates ``batch / num_devices`` images per program (pure
+    per-example compute, so GSPMD inserts zero collectives).  The
+    compiled batch rounds up to a mesh multiple."""
 
     def __init__(self, gen, eval_vars, z_dim: int, num_classes: int,
-                 batch: int, seed: int = 0):
+                 batch: int, seed: int = 0, num_devices: int = 1):
         import jax
 
         from .generate import build_serve_fn
 
         self.z_dim = z_dim
         self.num_classes = max(1, num_classes)
-        self.batch = batch
-        self._vars = eval_vars
-        self._fn = build_serve_fn(gen)
         self._lock = threading.Lock()
         self._key = jax.random.PRNGKey(seed)
+        self.requests_total = 0
+        self.images_total = 0
+        self.sample_seconds_total = 0.0
+        if num_devices and num_devices > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from .parallel.mesh import batch_sharding, make_mesh
+            mesh = make_mesh(num_devices)
+            batch = -(-batch // num_devices) * num_devices
+            self._bs = batch_sharding(mesh)
+            self._vars = jax.device_put(
+                eval_vars, NamedSharding(mesh, P()))
+        else:
+            self._bs = None
+            self._vars = eval_vars
+        self.batch = batch
+        self.num_devices = max(1, num_devices or 1)
+        self._fn = build_serve_fn(gen)
         # compile + execute once so /healthz reflects a hot model
         import jax.numpy as jnp
-        z = jnp.zeros((batch, z_dim), jnp.float32)
-        labels = jnp.zeros((batch,), jnp.int32)
+        z = self._place(jnp.zeros((batch, z_dim), jnp.float32))
+        labels = self._place(jnp.zeros((batch,), jnp.int32))
         self.img_size = int(np.asarray(
             jax.device_get(self._fn(self._vars, z, labels))).shape[1])
+
+    def _place(self, arr):
+        import jax
+        return jax.device_put(arr, self._bs) if self._bs is not None else arr
 
     def sample(self, n: int, seed: int | None, class_id: int,
                truncation: float) -> np.ndarray:
@@ -78,7 +109,9 @@ class GeneratorService:
         import jax
         import jax.numpy as jnp
 
+        import time
         out = []
+        t0 = time.perf_counter()
         with self._lock:
             if seed is not None:
                 key = jax.random.PRNGKey(seed)
@@ -97,9 +130,25 @@ class GeneratorService:
                 else:
                     labels = jax.random.randint(
                         kl, (self.batch,), 0, self.num_classes)
-                out.append(np.asarray(
-                    jax.device_get(self._fn(self._vars, z, labels))))
+                out.append(np.asarray(jax.device_get(
+                    self._fn(self._vars, self._place(z),
+                             self._place(labels)))))
+            self.requests_total += 1
+            self.images_total += n
+            self.sample_seconds_total += time.perf_counter() - t0
         return np.concatenate(out)[:n]
+
+    def metrics_text(self) -> str:
+        """Prometheus-style plaintext counters."""
+        return (
+            "# TYPE sagan_requests_total counter\n"
+            f"sagan_requests_total {self.requests_total}\n"
+            "# TYPE sagan_images_total counter\n"
+            f"sagan_images_total {self.images_total}\n"
+            "# TYPE sagan_sample_seconds_total counter\n"
+            f"sagan_sample_seconds_total {self.sample_seconds_total:.6f}\n"
+            "# TYPE sagan_serving_devices gauge\n"
+            f"sagan_serving_devices {self.num_devices}\n")
 
 
 def _make_handler(svc: GeneratorService):
@@ -125,9 +174,13 @@ def _make_handler(svc: GeneratorService):
                 if url.path == "/meta":
                     meta = {"img_size": svc.img_size, "z_dim": svc.z_dim,
                             "num_classes": svc.num_classes,
-                            "batch": svc.batch}
+                            "batch": svc.batch,
+                            "num_devices": svc.num_devices}
                     return self._send(
                         200, json.dumps(meta).encode(), "application/json")
+                if url.path == "/metrics":
+                    return self._send(200, svc.metrics_text().encode(),
+                                      "text/plain")
                 if url.path == "/sample":
                     q = parse_qs(url.query)
 
@@ -195,6 +248,10 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--batch", type=int, default=64,
                     help="compiled serving batch (requests round up)")
+    ap.add_argument("--num_devices", type=int, default=1,
+                    help="serve data-parallel over this many local "
+                         "chips (params replicated, batch sharded; "
+                         "batch rounds up to a multiple)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -224,7 +281,7 @@ def main(argv=None):
     svc = GeneratorService(
         gen, eval_vars, z_dim=config["z_dim"],
         num_classes=config.get("num_classes", 1), batch=args.batch,
-        seed=args.seed)
+        seed=args.seed, num_devices=args.num_devices)
     srv = make_server(svc, args.host, args.port)
     host, port = srv.server_address[:2]
     print(f"serving {svc.img_size}px generator on http://{host}:{port} "

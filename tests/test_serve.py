@@ -50,7 +50,7 @@ def test_healthz_and_meta(server):
     meta = json.loads(body)
     assert status == 200
     assert meta == {"img_size": 16, "z_dim": 8, "num_classes": 4,
-                    "batch": 4}
+                    "batch": 4, "num_devices": 1}
 
 
 def test_sample_png_grid(server):
@@ -106,3 +106,47 @@ def test_unknown_path_404(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(server + "/nope")
     assert ei.value.code == 404
+
+
+def test_metrics_endpoint_counts(server):
+    _get(server + "/sample?n=3&seed=11&format=raw")
+    status, headers, body = _get(server + "/metrics")
+    assert status == 200 and headers["Content-Type"] == "text/plain"
+    text = body.decode()
+    fields = {line.split()[0]: float(line.split()[1])
+              for line in text.splitlines() if not line.startswith("#")}
+    assert fields["sagan_requests_total"] >= 1
+    assert fields["sagan_images_total"] >= 3
+    assert fields["sagan_sample_seconds_total"] > 0
+    assert fields["sagan_serving_devices"] == 1
+
+
+def _tiny_cfg():
+    return resolve_config({
+        "dataset": "synthetic", "data_path": "unused",
+        "model": "vanilla", "z_dim": 8, "gf_dim": 8, "df_dim": 8,
+        "img_size": 16, "use_attention": True, "attn_dim_G": [8],
+        "attn_dim_D": [8], "use_label": True, "use_cond_bn": True,
+        "num_classes": 4, "batch_size": 4, "num_devices": 1,
+        "lr_g": 1e-4, "lr_d": 4e-4, "decay_rate": 0.99,
+        "compute_dtype": "float32",
+    }, num_local_devices=1)
+
+
+def test_multi_device_serving_matches_single():
+    """--num_devices 8: batch rounds up to a mesh multiple and the
+    sharded program generates the SAME images as the single-device
+    path (pure per-example compute — sharding must not change
+    numerics)."""
+    cfg = _tiny_cfg()
+    gen = get_generator(cfg)
+    eval_vars = gen.init(jax.random.PRNGKey(0))
+    one = GeneratorService(gen, eval_vars, z_dim=8, num_classes=4,
+                           batch=8, seed=0, num_devices=1)
+    many = GeneratorService(gen, eval_vars, z_dim=8, num_classes=4,
+                            batch=6, seed=0, num_devices=8)
+    assert many.batch == 8  # rounded up to the mesh width
+    assert many.num_devices == 8
+    a = one.sample(8, seed=5, class_id=2, truncation=0.0)
+    b = many.sample(8, seed=5, class_id=2, truncation=0.0)
+    assert np.abs(a.astype(np.int16) - b.astype(np.int16)).max() <= 1
