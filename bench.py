@@ -272,6 +272,11 @@ def measure_interleaved(handles, other=None, reps=3, name=""):
     """Best-of-``reps``; reps of ``other`` interleave with ``handles``'s
     so chip-throughput drift hits both variants equally."""
     best = best_other = 0.0
+    # the first rep's warmup is the program's FIRST device execution —
+    # a cold remote compile here is 40-300 s of otherwise-silent wait
+    # (the r04 live-run diagnosis gap: 450+ s between "built" and the
+    # first heartbeat)
+    _t(f"{name}: warmup/first execution (remote compile if cold)")
     for r in range(reps):
         best = max(best, measure(*handles, reps=1))
         if other is not None:
@@ -500,11 +505,43 @@ def _install_timeout_guard():
             pass
 
 
+def _install_headline_watchdog(deadline_s: float):
+    """Self-imposed headline deadline, armed once the device is granted.
+
+    The signal guard above covers a driver SIGTERM — but not a SIGKILL,
+    and not a driver with no timeout at all.  The remaining wedge class
+    (observed live in r04 validation: acquisition succeeds, then the
+    FIRST device execution blocks indefinitely behind a stale remote
+    lease) would then produce zero stdout forever.  A daemon thread
+    can't cancel a blocked fetch, but it can print the labeled stale
+    line and ``os._exit(0)`` — same contract as the guard, on a clock
+    we control.  Disarmed by the headline printing."""
+    import threading
+
+    def fire():
+        if not _HEADLINE_PRINTED:
+            emit_stale_fallback(
+                f"headline watchdog: no fresh measurement within "
+                f"{deadline_s:.0f}s of device grant (cold time-to-headline "
+                "is ~400s; a >2x overrun means the device execution "
+                "wedged)")
+            os._exit(0)
+
+    t = threading.Timer(deadline_s, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "420"))
     _install_timeout_guard()
     dev = acquire_device(float(os.environ.get("BENCH_DEVICE_TIMEOUT_S",
                                               "2700")))
+    # watchdog clock starts at grant: acquisition has its own ceiling,
+    # and the deadline must bound MEASUREMENT wedge, not pool wait
+    _install_headline_watchdog(
+        float(os.environ.get("BENCH_HEADLINE_DEADLINE_S", "1500")))
     # the budget bounds post-headline MEASUREMENT work; start its clock
     # only once the device is granted, so a long acquisition wait (the
     # pool wedge) can't eat it and silently skip every secondary config

@@ -587,33 +587,40 @@ BWD_FUSED_VMEM_BUDGET = 15 * 1024 * 1024
 DQ_SLAB_LIMIT = 1024 * 1024 * 1024
 
 
-def _flash_bwd_fused_vmem_bytes(bn: int, bm: int, d: int, c: int) -> int:
+def _flash_bwd_fused_vmem_bytes(bn: int, bm: int, d: int, c: int,
+                                itemsize: int = 2) -> int:
     """Per-batch-element resident bytes of the fused backward kernel:
-    two fp32 [BN, BM] tiles (p and dp) + the bf16 dlog tile + k/v key
-    blocks + fp32 dK/dV accumulators + q/g/o row blocks + lse + the
-    fp32 dq-partial out block ([D, BN], transposed — D sublane-pads to
-    8, BN is lane-aligned), at padded widths (see _lanes/_sublanes)."""
+    two fp32 [BN, BM] tiles (p and dp) + the input-dtype dlog tile +
+    k/v key blocks (input dtype) + fp32 dK/dV accumulators + q/g/o row
+    blocks (input dtype) + lse + the fp32 dq-partial out block
+    ([D, BN], transposed — D sublane-pads to 8, BN is lane-aligned),
+    at padded widths (see _lanes/_sublanes).  ``itemsize`` is the
+    attention input dtype's byte width (2 for bf16, 4 for fp32) —
+    unlike the siblings above, this estimator runs near the budget at
+    the adopted 256px blocks, so counting fp32 inputs at 2 bytes would
+    overcommit VMEM and fail in the Mosaic pipeline."""
     dc = _lanes(d) + _lanes(c)
-    tiles = bn * _lanes(bm) * (4 + 4 + 2)
-    keys = bm * dc * (2 + 4)
-    rows = bn * (_lanes(d) + 2 * _lanes(c)) * 2 + bn * 128 * 4 \
+    tiles = bn * _lanes(bm) * (4 + 4 + itemsize)
+    keys = bm * dc * (itemsize + 4)
+    rows = bn * (_lanes(d) + 2 * _lanes(c)) * itemsize + bn * 128 * 4 \
         + _sublanes(d) * _lanes(bn) * 4
     return tiles + keys + rows
 
 
-def _pick_flash_blocks_bwd_fused(n: int, m: int, d: int, c: int):
+def _pick_flash_blocks_bwd_fused(n: int, m: int, d: int, c: int,
+                                 itemsize: int = 2):
     """Block pair for the fused one-pass backward, or (0, 0) to fall
     back to the two-kernel path.  BM < 1024 is excluded empirically:
     every BM=512 variant died in the Mosaic pipeline on the v5e
     (tools/bench_attn_bwd256.py round-4 sweep) while all BM≥1024
     configs compiled and ran; the sweep's winner at the 256px shape was
-    (BN=512, BM=2048) at 135.7 ms."""
+    (BN=512, BM=2048) at 135.7 ms (bf16; fp32 inputs fit (256, 2048))."""
     for bm in (2048, 1024):
         if m % bm or m <= bm:
             continue
         for bn in (512, 256, 128):
             if n % bn == 0 and \
-                    _flash_bwd_fused_vmem_bytes(bn, bm, d, c) \
+                    _flash_bwd_fused_vmem_bytes(bn, bm, d, c, itemsize) \
                     <= BWD_FUSED_VMEM_BUDGET:
                 return bn, bm
     return 0, 0
@@ -695,7 +702,8 @@ def _flash_bwd_dispatch(q, k, v, o, lse, g, bn, bm, gb, interpret):
     b, n, d = q.shape
     m = k.shape[1]
     if gb == 1:
-        fbn, fbm = _pick_flash_blocks_bwd_fused(n, m, d, v.shape[2])
+        fbn, fbm = _pick_flash_blocks_bwd_fused(n, m, d, v.shape[2],
+                                                q.dtype.itemsize)
         if fbn and b * (m // fbm) * _sublanes(d) * n * 4 <= DQ_SLAB_LIMIT:
             return _flash_bwd_fused(q, k, v, o, lse, g, fbn, fbm,
                                     interpret)

@@ -53,6 +53,20 @@ import numpy as np
 
 from .utils.cache import enable_compilation_cache
 
+# Per-request output ceiling in raw uint8 bytes (64 MiB).  /sample's n
+# cap derives from this and the model's image size, so one request can
+# never hold the inference lock while concatenating multi-GB host
+# buffers (at 64px this allows the full 4096-image cap; at 512px it
+# works out to ~85 images).
+MAX_SAMPLE_BYTES = 64 << 20
+
+
+def request_cap(batch: int, img_size: int) -> int:
+    """Max images one /sample request may ask for: 4096 absolute,
+    tightened so raw output stays under MAX_SAMPLE_BYTES, never below
+    one compiled batch."""
+    return min(4096, max(batch, MAX_SAMPLE_BYTES // (img_size * img_size * 3)))
+
 
 class GeneratorService:
     """Owns the jitted serve function and the inference lock.
@@ -97,6 +111,7 @@ class GeneratorService:
         labels = self._place(jnp.zeros((batch,), jnp.int32))
         self.img_size = int(np.asarray(
             jax.device_get(self._fn(self._vars, z, labels))).shape[1])
+        self.max_request_images = request_cap(self.batch, self.img_size)
 
     def _place(self, arr):
         import jax
@@ -187,15 +202,32 @@ def _make_handler(svc: GeneratorService):
                     def one(name, cast, default):
                         return cast(q[name][0]) if name in q else default
 
-                    n = min(max(one("n", int, 16), 1), 4096)
-                    seed = one("seed", int, None)
-                    class_id = one("class_id", int, -1)
+                    try:
+                        n = max(one("n", int, 16), 1)
+                        seed = one("seed", int, None)
+                        class_id = one("class_id", int, -1)
+                        trunc = one("truncation", float, 0.0)
+                    except ValueError as e:
+                        # client error, not a server fault: ?n=abc
+                        # must be a 400, not a 500
+                        return self._send(
+                            400, f"bad query parameter: {e}".encode(),
+                            "text/plain")
+                    # the request cap bounds total output BYTES, not
+                    # image count — at 512px an n=4096 request would
+                    # build ~3 GB of host buffers under the inference
+                    # lock, stalling every other client
+                    if n > svc.max_request_images:
+                        return self._send(
+                            400, f"n={n} exceeds the per-request cap "
+                            f"{svc.max_request_images} at "
+                            f"{svc.img_size}px".encode(),
+                            "text/plain")
                     if class_id >= svc.num_classes:
                         return self._send(
                             400, f"class_id {class_id} out of range "
                             f"(num_classes={svc.num_classes})".encode(),
                             "text/plain")
-                    trunc = one("truncation", float, 0.0)
                     fmt = one("format", str, "png")
                     imgs = svc.sample(n, seed, class_id, trunc)
                     if fmt == "npz":
@@ -266,14 +298,26 @@ def main(argv=None):
     config = resolve_config(load_config_file(args.config_path))
     from .generate import load_generator_npz, restore_eval_state
     if "img_size" not in config or "num_classes" not in config:
+        # same fallback chain as generate.main: exported-npz meta
+        # first, then dataset metadata — and BOTH keys must resolve
+        # before skipping the metadata read (a conditional model with
+        # only img_size in its config must not silently serve
+        # num_classes=1 and reject every class_id)
+        filled = False
         if args.weights and os.path.exists(args.weights):
             with np.load(args.weights) as data:
                 for k in ("img_size", "num_classes"):
                     if f"meta/{k}" in data:
                         config.setdefault(k, int(data[f"meta/{k}"]))
-        if "img_size" not in config:
+            filled = "img_size" in config and "num_classes" in config
+        if not filled:
             from .data.tfrecord import load_metadata
-            config.update(load_metadata(config["data_path"]))
+            try:
+                config.update(load_metadata(config["data_path"]))
+            except FileNotFoundError:
+                raise SystemExit(
+                    f"config lacks img_size/num_classes and no "
+                    f"metadata.pickle under {config['data_path']!r}")
     if args.weights:
         gen, eval_vars = load_generator_npz(config, args.weights)
     else:

@@ -27,6 +27,27 @@ def force(out):
     return jax.device_get(leaf.ravel()[0] if hasattr(leaf, "ravel") else leaf)
 
 
+def timeit_fetch_median_ms(fn, *args, reps: int = 10) -> float:
+    """Median milliseconds of ONE dispatch → compute → **full fetch**
+    round trip of ``fn(*args)`` (every output byte via
+    ``jax.device_get``, not the one-scalar ``force``).
+
+    This is the SERVING metric: when the deliverable is the array on
+    the host (tools/bench_generate.py), the transfer is part of the
+    measured cost, so ``timeit_best``'s scalar-fetch amortization
+    would exclude exactly the thing being optimized.  Median, not
+    best-of: an interactive request experiences the typical tunnel
+    RTT, not the luckiest."""
+    fetch = lambda: np.asarray(jax.device_get(fn(*args)))  # noqa: E731
+    fetch()  # warmup (compile + first-touch)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fetch()
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(ts))
+
+
 def timeit_best(fn, *args, iters: int = 30, reps: int = 3,
                 jit: bool = True) -> float:
     """Best-of-``reps`` mean seconds per call of ``fn(*args)``.

@@ -89,3 +89,32 @@ def test_stale_fallback_sets_headline_flag(tmp_path, monkeypatch, capsys):
 
 if __name__ == "__main__":
     sys.exit(os.system(f"python -m pytest {__file__} -q"))
+
+
+def test_headline_watchdog_fires_stale_line(capsys, monkeypatch):
+    """The r04 wedge class: acquisition succeeds, then the first device
+    execution blocks forever.  The watchdog must print the labeled
+    stale line when the deadline passes with no headline out (os._exit
+    is monkeypatched — bench shares the real os module, so the stub
+    must be restored — the contract under test is the line)."""
+    bench = _load_bench()
+    exited = []
+    monkeypatch.setattr(bench.os, "_exit", lambda code: exited.append(code))
+    t = bench._install_headline_watchdog(0.01)
+    t.join(timeout=5)
+    assert not t.is_alive()
+    line = json.loads(capsys.readouterr().out.strip())
+    assert line["stale"] is True
+    assert "watchdog" in line["stale_reason"]
+    assert exited == [0]
+
+
+def test_headline_watchdog_disarmed_after_headline(capsys, monkeypatch):
+    bench = _load_bench()
+    fired = []
+    monkeypatch.setattr(bench.os, "_exit", lambda code: fired.append(code))
+    bench._HEADLINE_PRINTED = True
+    t = bench._install_headline_watchdog(0.01)
+    t.join(timeout=5)
+    assert capsys.readouterr().out == ""
+    assert fired == []

@@ -225,6 +225,20 @@ def test_flash_fused_backward_matches_reference():
     assert _pick_flash_blocks_bwd_fused(512, 1024, 8, 16) == (0, 0)
     assert _pick_flash_blocks_bwd_fused(512, 1536, 8, 16) == (0, 0)
 
+    # fp32 inputs occupy 2x the VMEM of bf16 in the dlog tile, k/v
+    # blocks, and q/g/o rows: the picker must scale by the input
+    # itemsize (round-4 review fix — 2-byte counting put the fp32
+    # 256px footprint at ~17 MB, past the 16 MB/core Mosaic limit).
+    # bf16 keeps the hardware-measured (512, 2048); fp32 demotes.
+    assert _pick_flash_blocks_bwd_fused(65536, 16384, 2, 8, 4) \
+        == (256, 2048)
+    for n, m, d, c in [(65536, 16384, 2, 8), (16384, 16384, 8, 32),
+                       (16384, 16384, 2, 8), (65536, 65536, 16, 64)]:
+        bn, bm = _pick_flash_blocks_bwd_fused(n, m, d, c, 4)
+        if bn:
+            assert _flash_bwd_fused_vmem_bytes(bn, bm, d, c, 4) \
+                <= BWD_FUSED_VMEM_BUDGET
+
     # numerics at a fused-engaging shape (m=2048 → fused picks
     # (512, 1024), nk=2): grads through the public dispatch vs oracle
     q, k, v = rand_qkv(b=2, n=512, m=2048, d=8, c=16)

@@ -102,6 +102,29 @@ def test_class_out_of_range_is_400(server):
     assert b"out of range" in ei.value.read()
 
 
+def test_malformed_query_param_is_400(server):
+    # client input errors must not surface as 500s (round-4 review)
+    for bad in ("n=abc", "seed=x", "class_id=x", "truncation=x"):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(server + "/sample?" + bad)
+        assert ei.value.code == 400, bad
+        assert b"bad query parameter" in ei.value.read()
+
+
+def test_request_cap_scales_with_image_size(server):
+    # 16px: the byte bound exceeds the 4096 absolute cap
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(server + "/sample?n=5000&format=raw")
+    assert ei.value.code == 400
+    assert b"per-request cap 4096" in ei.value.read()
+    # the cap formula bounds BYTES at large image sizes: at 512px far
+    # fewer images fit one request than the 4096 absolute cap
+    from sagan_tpu.serve import request_cap
+    assert 16 <= request_cap(16, 512) < 256  # ~85: multi-GB impossible
+    assert request_cap(64, 4096) == 64  # never below one batch
+    assert request_cap(64, 64) == 4096  # small images keep the old cap
+
+
 def test_unknown_path_404(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(server + "/nope")

@@ -64,14 +64,11 @@ def serving_loop_imgs_per_sec(fn, vars_g, zs, labels, batch,
 def single_batch_latency_ms(fn, vars_g, z, labels, reps=10) -> float:
     """Median round trip of ONE batch: dispatch -> compute -> full
     fetch.  Includes the tunnel RTT — this is what an interactive
-    request experiences."""
-    np.asarray(jax.device_get(fn(vars_g, z, labels)))  # warm
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        np.asarray(jax.device_get(fn(vars_g, z, labels)))
-        ts.append((time.perf_counter() - t0) * 1e3)
-    return float(np.median(ts))
+    request experiences.  Uses the shared full-fetch timing helper
+    (timeit_best's scalar-fetch force would exclude the transfer,
+    which is the serving cost being measured here)."""
+    from sagan_tpu.utils.timing import timeit_fetch_median_ms
+    return timeit_fetch_median_ms(fn, vars_g, z, labels, reps=reps)
 
 
 def main():
