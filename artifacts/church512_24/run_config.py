@@ -16,7 +16,7 @@
 # Reference anchor: /root/reference/sagan/models/layers.py:94-116
 # attention semantics at the 512px extension (the reference tops out
 # at 128px configs); recipe = example_configs/church512_attn.py.
-output_name = "church512_30"
+output_name = "church512_24"
 config = {
     "num_devices": 1,
     "dataset": "synthetic512",

@@ -124,15 +124,77 @@ def build(config):
     return step, state, images, labels
 
 
+def analytic_attention_flops(config) -> int:
+    """Hand-computed attention FLOPs of ONE optimizer step.
+
+    XLA's ``cost_analysis`` sees a Pallas kernel as an opaque custom
+    call and counts its FLOPs only through the kernel's declared
+    ``pl.CostEstimate``; this independent count (VERDICT r4 item 1)
+    cross-checks those declarations.  Site shapes (N, M, D, C) are
+    captured by tracing the actual models (jax.eval_shape — free), so
+    the architecture arithmetic lives in one place; per site:
+
+      forward  = 2·N·M·(D+C)        (QKᵀ + PV)
+      backward = 2·N·M·(3D+2C)      (one score recompute + dP, dQ,
+                                     dK, dV — the batched and fused
+                                     one-pass backward; the two-kernel
+                                     fallback recomputes scores twice,
+                                     2·N·M·(4D+3C), so this is the
+                                     floor)
+
+    Pass counts per optimizer step (train/trainer.py:264-376, U =
+    update_ratio, B = global batch): each D iteration runs G forward
+    (B) + D forward/backward on the fused real+fake batch (2B); the G
+    update runs G forward/backward (B) and D forward/backward (B)."""
+    import jax
+
+    from sagan_tpu.models import get_discriminator, get_generator
+    from sagan_tpu.ops.attention import record_attention_sites
+
+    gen = get_generator(config)
+    disc = get_discriminator(config)
+    key = jax.random.PRNGKey(0)
+    z = jax.ShapeDtypeStruct((1, config["z_dim"]), np.float32)
+    lbl = jax.ShapeDtypeStruct((1,), np.int32)
+    s = config["img_size"]
+    img = jax.ShapeDtypeStruct((1, s, s, 3), np.float32)
+    with record_attention_sites() as g_sites:
+        vars_g = jax.eval_shape(gen.init, key)
+        g_sites.clear()  # init traces a forward too — count apply only
+        jax.eval_shape(lambda v, a, b2: gen(v, a, b2, train=True),
+                       vars_g, z, lbl)
+    with record_attention_sites() as d_sites:
+        vars_d = jax.eval_shape(disc.init, key)
+        d_sites.clear()
+        jax.eval_shape(lambda v, a, b2: disc(v, a, b2, train=True),
+                       vars_d, img, lbl)
+
+    def fwd(sites):
+        return sum(2 * n * m * (d + c) for n, m, d, c in sites)
+
+    def bwd(sites):
+        return sum(2 * n * m * (3 * d + 2 * c) for n, m, d, c in sites)
+
+    u = config.get("update_ratio", 1)
+    batch = config["global_batch_size"]
+    return batch * (
+        (u + 1) * fwd(g_sites) + bwd(g_sites)
+        + (2 * u + 1) * (fwd(d_sites) + bwd(d_sites)))
+
+
 def compiled_flops_per_step(step, state, images, labels) -> float | None:
     """XLA-counted FLOPs of ONE training step.
 
     ``cost_analysis()`` counts a ``lax.scan`` body once (not × trip
     count), so for the K-fused step program the reported number IS the
-    per-step FLOPs.  Cross-checked by hand for the church64 config:
-    XLA reports 38.9 GFLOP; a manual conv/matmul count of the same
-    D+G step gives ≈0.61 GFLOP/img × 64 = 38.9 GFLOP.  (The few ops
-    outside the scan — metric means — are negligible.)"""
+    per-step FLOPs.  Pallas attention kernels are included via their
+    ``pl.CostEstimate`` declarations (every kernel in
+    ops/pallas_attention.py declares one — round 5; before that the
+    flash/backward kernels were invisible to this count and the 256px
+    MFU row was a ~20× undercount artifact, VERDICT r4 item 1);
+    ``make_entry`` cross-checks the total against
+    ``analytic_attention_flops``.  (The few ops outside the scan —
+    metric means — are negligible.)"""
     try:
         cost = step.lower(state, images, labels).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
@@ -224,6 +286,13 @@ CHURCH256 = {
     "batch_size": 16,
     "global_batch_size": 16,
 }
+
+# 512px flash regime: N=262144 / M=65536 at the generator's 512 map —
+# the largest shipped attention shape (example_configs/church512_attn.py;
+# VERDICT r4 items 4-5 asked for driver-visible perf characterization
+# with honest MFU accounting here)
+CHURCH512 = dict(CHURCH256, img_size=512, attn_dim_G=[512],
+                 attn_dim_D=[64], batch_size=4, global_batch_size=4)
 
 # north-star: ImageNet-128 class-conditional ResNet SAGAN at the
 # reference's scale (gf_dim=16, /root/reference/models/generator.py:23
@@ -328,6 +397,30 @@ def make_entry(config, name, best, flops_per_step):
             if mfu > 1.0:
                 entry["warning"] = ("MFU > 1 is unphysical: the "
                                     "measurement or FLOP count is wrong")
+        # FLOP-accounting cross-check (VERDICT r4 item 1): the XLA count
+        # must contain at least the hand-computed attention FLOPs —
+        # otherwise a Pallas kernel lost its pl.CostEstimate and every
+        # MFU number above is an undercount artifact.
+        if config.get("use_attention"):
+            try:
+                attn = analytic_attention_flops(config)
+            except Exception as e:  # accounting must never break a bench
+                entry["attn_flops_error"] = repr(e)
+            else:
+                entry["attn_flops_per_step_analytic"] = attn
+                entry["attn_share_of_xla_flops"] = round(
+                    attn / flops_per_step, 4)
+                entry["flop_accounting"] = (
+                    "flops_per_step_xla = compiled cost_analysis(); "
+                    "Pallas attention kernels counted via their "
+                    "pl.CostEstimate declarations; analytic cross-check "
+                    "= 2NM(D+C) fwd + 2NM(3D+2C) bwd per site "
+                    "(bench.analytic_attention_flops)")
+                if attn > flops_per_step:
+                    entry["warning_flop_accounting"] = (
+                        "XLA FLOP count below the analytic attention "
+                        "count — a Pallas kernel is missing its "
+                        "CostEstimate; MFU above is an undercount")
     return entry
 
 
@@ -452,12 +545,7 @@ def emit_stale_fallback(diagnostic: str):
             "stale_reason": diagnostic,
             "detail": {"error": f"no usable BENCH_DETAIL.json: {e!r}"},
         })
-    # mark stdout as spoken-for BEFORE printing: a driver signal landing
-    # between this print and the caller's sys.exit would otherwise make
-    # the SIGTERM guard emit a SECOND line on the one-line stdout
-    global _HEADLINE_PRINTED
-    _HEADLINE_PRINTED = True
-    print(line, flush=True)
+    _print_headline_once(line)
 
 
 def _detail_commit_unix(path):
@@ -480,6 +568,32 @@ def _detail_commit_unix(path):
 
 
 _HEADLINE_PRINTED = False
+
+import threading as _threading  # noqa: E402  (stdlib; used by the lock)
+
+_PRINT_LOCK = _threading.Lock()
+
+
+def _print_headline_once(line: str) -> bool:
+    """Print the ONE stdout JSON line, exactly once, atomically.
+
+    Flag check + print share a lock so the watchdog thread and the main
+    thread can never interleave two lines (or truncate a fresh line
+    with a stale one) at the deadline boundary.  The SIGTERM handler
+    runs in the main thread, which may itself hold the lock mid-print —
+    so acquisition is bounded: on timeout the caller is about to exit
+    anyway and the in-flight print wins the one-line contract."""
+    global _HEADLINE_PRINTED
+    if not _PRINT_LOCK.acquire(timeout=5.0):
+        return False  # a print is in flight; let it own stdout
+    try:
+        if _HEADLINE_PRINTED:
+            return False
+        _HEADLINE_PRINTED = True
+        print(line, flush=True)
+        return True
+    finally:
+        _PRINT_LOCK.release()
 
 
 def _install_timeout_guard():
@@ -530,7 +644,23 @@ def _install_headline_watchdog(deadline_s: float):
     t = threading.Timer(deadline_s, fire)
     t.daemon = True
     t.start()
+    global _WATCHDOG
+    _WATCHDOG = t
     return t
+
+
+_WATCHDOG = None
+
+
+def _rearm_headline_watchdog(deadline_s: float):
+    """Restart the headline deadline clock.  Used when the no-cached-
+    baseline path adds a SECOND cold compile (the naive step, 100-430 s)
+    before the headline: the original deadline assumed ~400 s cold
+    time-to-headline for ONE compile and would kill a healthy fully-cold
+    run as wedged (ADVICE r4)."""
+    if _WATCHDOG is not None:
+        _WATCHDOG.cancel()
+    _install_headline_watchdog(deadline_s)
 
 
 def main():
@@ -542,10 +672,9 @@ def main():
     # and the deadline must bound MEASUREMENT wedge, not pool wait
     _install_headline_watchdog(
         float(os.environ.get("BENCH_HEADLINE_DEADLINE_S", "1500")))
-    # the budget bounds post-headline MEASUREMENT work; start its clock
-    # only once the device is granted, so a long acquisition wait (the
-    # pool wedge) can't eat it and silently skip every secondary config
-    t0 = time.perf_counter()
+    # (the secondary budget clock t0 is set right after the headline
+    # prints — see below; neither pool-acquisition waits nor the
+    # headline's own cold compile may eat the secondary budget)
     peak = chip_peak(dev.device_kind)
 
     optimized = dict(CHURCH64, compute_dtype="bfloat16", use_pallas=None,
@@ -568,6 +697,11 @@ def main():
     if cached is None:
         _t("church64: no cached baseline for this chip kind — measuring "
            "the naive config before the headline")
+        # this path adds a second cold compile (100-430 s) before the
+        # headline: give the watchdog a fresh full deadline so a healthy
+        # fully-cold run isn't killed as wedged (ADVICE r4)
+        _rearm_headline_watchdog(
+            float(os.environ.get("BENCH_HEADLINE_DEADLINE_S", "1500")))
         naive_handles = build(naive)
         _t("church64: baseline built")
         best2, best_naive = measure_interleaved(handles, naive_handles, 3,
@@ -590,13 +724,9 @@ def main():
 
     # Headline out FIRST (and flushed): everything after this point is
     # bonus detail that must never cost the driver its one JSON line.
-    # Flag BEFORE the print: a SIGTERM landing between the print and a
-    # flag-set-after would emit a SECOND (stale) line on the one-line
-    # stdout; flag-first risks only the opposite (signal between flag
-    # and print → no line), the same as being killed a moment earlier.
-    global _HEADLINE_PRINTED
-    _HEADLINE_PRINTED = True
-    print(json.dumps({
+    # _print_headline_once holds the flag+print lock, so the watchdog
+    # thread firing at this exact moment cannot interleave a stale line.
+    _print_headline_once(json.dumps({
         "metric": "sagan_church64_train_imgs_per_sec_per_chip",
         "value": church["imgs_per_sec_per_chip"],
         "unit": "imgs/sec",
@@ -612,7 +742,18 @@ def main():
             "configs": [church],
             "secondary_configs": "BENCH_DETAIL.json",
         },
-    }), flush=True)
+    }))
+
+    # The secondary budget clock starts NOW, not at device grant: the
+    # budget explicitly bounds post-headline measurement work, and the
+    # r04 driver run proved the flaw in starting it earlier — the
+    # headline's own cold warmup took 640 s against a 420 s budget, so
+    # every secondary config was skipped with "-223s left"
+    # (BENCH_r04.json; VERDICT r4 item 3).  The headline already has
+    # its own watchdog; the driver's outer timeout still bounds the
+    # whole process, and BENCH_DETAIL.json is flushed progressively so
+    # a mid-secondary kill loses only the entry in flight.
+    t0 = time.perf_counter()
 
     # Secondary configs under the remaining wall-clock budget; results
     # go to BENCH_DETAIL.json progressively (stdout stays one line).
@@ -669,7 +810,24 @@ def main():
         ("church256_flash",
          dict(CHURCH256, compute_dtype="bfloat16", use_pallas=True,
               steps_per_call=4)),
+        # largest flash shape (N=262144/M=65536, fused one-pass
+        # backward + transposed dq slab)
+        ("church512_flash",
+         dict(CHURCH512, compute_dtype="bfloat16", use_pallas=True,
+              steps_per_call=2)),
     ]
+    # Rotate which secondary runs FIRST each round (deterministic: the
+    # count of committed driver artifacts): the budget typically covers
+    # one cold secondary compile per run, so without rotation the same
+    # config would land fresh every round and the rest would be
+    # starved forever (VERDICT r4 item 3c).
+    import glob as _glob
+    ridx = len(_glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+    ridx %= len(secondary)
+    secondary = secondary[ridx:] + secondary[:ridx]
+    _t(f"secondary rotation: starting at index {ridx} "
+       f"({secondary[0][0]})")
     # a cold remote compile costs 40-420 s (measured: gf64's step was
     # 420 s), and a compile in progress cannot be interrupted — only
     # start a secondary config when a generous margin remains

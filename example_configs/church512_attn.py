@@ -12,7 +12,7 @@
 # "remat": True to trade ~one stage recompute for headroom if you
 # raise the batch).  Measured anchor: 941 ms/step at B=4 on a v5e
 # (artifacts/flash512_smoke); 30-epoch stability run:
-# artifacts/church512_30.
+# artifacts/church512_24 (24-epoch hardware stability run, round 5).
 #
 # Reference anchor: /root/reference/sagan/models/layers.py:94-116
 # attention semantics + example_configs/church64_attn.py recipe,

@@ -48,6 +48,34 @@ def attention_reference(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     return out.astype(q.dtype)
 
 
+# -- site-shape recording (benchmark FLOP accounting) ----------------------
+#
+# bench.py cross-checks XLA's compiled FLOP count (which includes the
+# Pallas kernels only via their pl.CostEstimate declarations) against an
+# analytic attention count.  The (N, M, D, C) of every attention site a
+# model forward visits is captured here at trace time — architecture
+# arithmetic (which ladder stage a site lands on, its channel width)
+# stays in ONE place, the model code itself.
+_SITE_RECORD: list | None = None
+
+
+class record_attention_sites:
+    """Context manager: collects one (n, m, d, c) tuple per attention()
+    call traced inside the block (use with jax.eval_shape — no FLOPs are
+    spent).  Not reentrant; trace-time only."""
+
+    def __enter__(self):
+        global _SITE_RECORD
+        self.sites: list[tuple[int, int, int, int]] = []
+        _SITE_RECORD = self.sites
+        return self.sites
+
+    def __exit__(self, *exc):
+        global _SITE_RECORD
+        _SITE_RECORD = None
+        return False
+
+
 @functools.lru_cache(maxsize=1)
 def _pallas_available() -> bool:
     try:
@@ -69,6 +97,9 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array,
     that path runs the kernels in interpret mode (how the virtual-mesh
     tests exercise it).
     """
+    if _SITE_RECORD is not None:
+        _SITE_RECORD.append((q.shape[1], k.shape[1], q.shape[2],
+                             v.shape[2]))
     if use_pallas is None:
         use_pallas = _pallas_available() and q.shape[1] >= 256
     if use_pallas:

@@ -81,6 +81,22 @@ from jax.experimental.pallas import tpu as pltpu
 VMEM_BUDGET = 12 * 1024 * 1024  # of ~16 MB/core, leaving Mosaic headroom
 
 
+def _cost(flops: int, transcendentals: int, *arrays) -> pl.CostEstimate:
+    """CostEstimate for a pallas_call: analytic FLOPs/exp count plus the
+    logical bytes of every operand/result.  EVERY kernel in this file
+    declares one — a Pallas kernel is an opaque custom call to XLA, so
+    without the declaration ``compile().cost_analysis()`` counts ZERO
+    FLOPs for it and every MFU/TFLOP number computed from the XLA count
+    undercounts by the attention share (at the 256px/512px flash shapes
+    that share is ~95% of the step: the committed round-4
+    church256_flash "0.3% MFU" row was such an artifact — VERDICT r4
+    item 1).  bench.py cross-checks the XLA count against the same
+    formulas (``analytic_attention_flops``)."""
+    bytes_accessed = sum(a.size * a.dtype.itemsize for a in arrays)
+    return pl.CostEstimate(flops=flops, bytes_accessed=bytes_accessed,
+                           transcendentals=transcendentals)
+
+
 def _lanes(dim: int) -> int:
     """VMEM-resident width of a minor-most dim: Mosaic pads the lane
     axis to multiples of 128, so a [M, 2] ref costs [M, 128] of VMEM.
@@ -175,12 +191,10 @@ def _fwd(q, k, v, block_n, block_b, interpret=False):
         out_specs=pl.BlockSpec((block_b, block_n, c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, c), q.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * n * m * (d + c),
-            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize
-            + b * n * c * q.dtype.itemsize,
-            transcendentals=b * n * m,
-        ),
+        # QKᵀ (2bnmd) + EV (2bnmc); one exp per logit
+        cost_estimate=_cost(2 * b * n * m * (d + c), b * n * m,
+                            q, k, v, jax.ShapeDtypeStruct((b, n, c),
+                                                          q.dtype)),
         interpret=interpret,
     )(q, k, v)
 
@@ -273,6 +287,13 @@ def _bwd_call(q, k, v, g, block_n, block_b, interpret=False):
             jax.ShapeDtypeStruct((b, m, d), jnp.float32),
             jax.ShapeDtypeStruct((b, m, c), jnp.float32),
         ],
+        # score recompute (2bnmd) + dP (2bnmc) + dQ (2bnmd) +
+        # dK (2bnmd) + dV (2bnmc) = 2bnm(3d+2c); one exp per logit
+        cost_estimate=_cost(
+            2 * b * n * m * (3 * d + 2 * c), b * n * m, q, k, v, g,
+            jax.ShapeDtypeStruct((b, n, d), q.dtype),
+            jax.ShapeDtypeStruct((b, m, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, m, c), jnp.float32)),
         interpret=interpret,
     )(q, k, v, g)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
@@ -405,6 +426,12 @@ def _flash_fwd(q, k, v, bn, bm, g, interpret=False):
             # equal to the array dims)
             jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
         ],
+        # QKᵀ + EV per visited tile = 2bnm(d+c); exps: one per logit
+        # plus one running-max correction per (row, key-block)
+        cost_estimate=_cost(
+            2 * b * n * m * (d + c), b * n * (m + nk), q, k, v,
+            jax.ShapeDtypeStruct((b, n, c), q.dtype),
+            jax.ShapeDtypeStruct((b, n, 1), jnp.float32)),
         scratch_shapes=[
             pltpu.VMEM((g, bn, c), jnp.float32),
             pltpu.VMEM((g, bn, 1), jnp.float32),
@@ -521,6 +548,10 @@ def _flash_bwd(q, k, v, o, lse, g, bn, bm, gb, interpret=False):
         out_specs=pl.BlockSpec((gb, bn, d), lambda i, j, kk: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, d), q.dtype),
+        # score recompute (2bnmd) + dP (2bnmc) + dQ (2bnmd)
+        cost_estimate=_cost(
+            2 * b * n * m * (2 * d + c), b * n * m, q, k, v, g, o, lse,
+            jax.ShapeDtypeStruct((b, n, d), q.dtype)),
         scratch_shapes=[
             pltpu.VMEM((gb, bn, d), jnp.float32),
             pltpu.VMEM((gb, bn, 1), jnp.float32),
@@ -557,6 +588,11 @@ def _flash_bwd(q, k, v, o, lse, g, bn, bm, gb, interpret=False):
             jax.ShapeDtypeStruct((b, m, d), jnp.float32),
             jax.ShapeDtypeStruct((b, m, c), jnp.float32),
         ],
+        # score recompute (2bnmd) + dP (2bnmc) + dK (2bnmd) + dV (2bnmc)
+        cost_estimate=_cost(
+            2 * b * n * m * (2 * d + 2 * c), b * n * m, q, k, v, g, o,
+            lse, jax.ShapeDtypeStruct((b, m, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, m, c), jnp.float32)),
         interpret=interpret,
     )(q, k, v, g, o, lse)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
@@ -689,6 +725,13 @@ def _flash_bwd_fused(q, k, v, o, lse, g, bn, bm, interpret=False):
             jax.ShapeDtypeStruct((b, m, c), jnp.float32),
             jax.ShapeDtypeStruct((b, nk, d, n), jnp.float32),
         ],
+        # ONE score recompute (2bnmd) + dP (2bnmc) + dQ partials
+        # (2bnmd) + dK (2bnmd) + dV (2bnmc) = 2bnm(3d+2c)
+        cost_estimate=_cost(
+            2 * b * n * m * (3 * d + 2 * c), b * n * m, q, k, v, g, o,
+            lse, jax.ShapeDtypeStruct((b, m, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, m, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, nk, d, n), jnp.float32)),
         interpret=interpret,
     )(q, k, v, g, o, lse)
     dq = jnp.swapaxes(jnp.sum(dqp, axis=1), 1, 2).astype(q.dtype)

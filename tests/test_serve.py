@@ -50,7 +50,7 @@ def test_healthz_and_meta(server):
     meta = json.loads(body)
     assert status == 200
     assert meta == {"img_size": 16, "z_dim": 8, "num_classes": 4,
-                    "batch": 4, "num_devices": 1}
+                    "batch": 4, "ladder": [1, 4], "num_devices": 1}
 
 
 def test_sample_png_grid(server):
@@ -123,6 +123,60 @@ def test_request_cap_scales_with_image_size(server):
     assert 16 <= request_cap(16, 512) < 256  # ~85: multi-GB impossible
     assert request_cap(64, 4096) == 64  # never below one batch
     assert request_cap(64, 64) == 4096  # small images keep the old cap
+
+
+def _computed_counter(server):
+    _, _, body = _get(server + "/metrics")
+    for line in body.decode().splitlines():
+        if line.startswith("sagan_images_computed_total"):
+            return int(float(line.split()[1]))
+    raise AssertionError("sagan_images_computed_total missing")
+
+
+def test_ladder_small_request_skips_full_batch(server):
+    """VERDICT r4 item 6: an n=1 request on a batch-4 server must run
+    the 1-image ladder program, not the full batch — the device-work
+    counter rises by exactly 1."""
+    before = _computed_counter(server)
+    _get(server + "/sample?n=1&seed=21&format=raw")
+    assert _computed_counter(server) - before == 1
+
+
+def test_ladder_chunks_cover_request_exactly(server):
+    # n=6 over ladder (1, 4): one 4-chunk + two 1-chunks = 6 computed
+    before = _computed_counter(server)
+    _get(server + "/sample?n=6&seed=22&format=raw")
+    assert _computed_counter(server) - before == 6
+
+
+def test_parallel_small_requests_dont_serialize_full_batches(server):
+    """Two concurrent n=1 requests must cost 2 computed images total
+    (each a 1-image program under the lock) — not two serialized
+    full-batch programs (2×4)."""
+    before = _computed_counter(server)
+    results = []
+
+    def one():
+        results.append(_get(server + "/sample?n=1&format=raw")[0])
+
+    threads = [threading.Thread(target=one) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == [200, 200]
+    assert _computed_counter(server) - before == 2
+
+
+def test_ladder_disabled_restores_whole_batch_rounding():
+    cfg = _tiny_cfg()
+    gen = get_generator(cfg)
+    eval_vars = gen.init(jax.random.PRNGKey(0))
+    svc = GeneratorService(gen, eval_vars, z_dim=8, num_classes=4,
+                           batch=4, seed=0, ladder=())
+    assert svc.ladder == [4]
+    svc.sample(1, seed=0, class_id=-1, truncation=0.0)
+    assert svc.images_computed_total == 4  # pre-round-5 behavior
 
 
 def test_unknown_path_404(server):
