@@ -424,6 +424,14 @@ def make_entry(config, name, best, flops_per_step):
     return entry
 
 
+def rotate_secondary(secondary: list, artifact_count: int):
+    """Order the secondary-config list so a different config runs (and
+    compiles) first each round, keyed by how many driver bench
+    artifacts exist already.  Returns (rotated_list, start_index)."""
+    ridx = artifact_count % len(secondary)
+    return secondary[ridx:] + secondary[:ridx], ridx
+
+
 BASELINE_CACHE_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BASELINE_CACHE.json")
 
@@ -822,10 +830,9 @@ def main():
     # config would land fresh every round and the rest would be
     # starved forever (VERDICT r4 item 3c).
     import glob as _glob
-    ridx = len(_glob.glob(os.path.join(
+    count = len(_glob.glob(os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
-    ridx %= len(secondary)
-    secondary = secondary[ridx:] + secondary[:ridx]
+    secondary, ridx = rotate_secondary(secondary, count)
     _t(f"secondary rotation: starting at index {ridx} "
        f"({secondary[0][0]})")
     # a cold remote compile costs 40-420 s (measured: gf64's step was

@@ -91,6 +91,70 @@ if __name__ == "__main__":
     sys.exit(os.system(f"python -m pytest {__file__} -q"))
 
 
+def test_secondary_rotation_covers_all_configs():
+    """Each round a different secondary config compiles first (the
+    budget usually covers one cold compile), and over len(secondary)
+    rounds every config gets a fresh-first slot."""
+    bench = _load_bench()
+    sec = [("a", 1), ("b", 2), ("c", 3), ("d", 4)]
+    firsts = [bench.rotate_secondary(sec, n)[0][0][0] for n in range(5)]
+    assert firsts == ["a", "b", "c", "d", "a"]
+    rot, ridx = bench.rotate_secondary(sec, 6)
+    assert ridx == 2 and [x[0] for x in rot] == ["c", "d", "a", "b"]
+
+
+def test_analytic_attention_flops_hand_count():
+    """Pin bench.analytic_attention_flops to a by-hand count on a
+    config with exactly one known attention site per net, so the FLOP
+    cross-check (VERDICT r4 item 1) is itself checked: vanilla G at
+    img_size 16 with attn_dim_G [16] puts one site on the final 16×16
+    map (c = gf_dim = 16 → qk 2, v 8, M = N/4); the D site mirrors it
+    on the 8×8 first-block map (c = df_dim)."""
+    bench = _load_bench()
+    cfg = {
+        "model": "vanilla", "z_dim": 8, "gf_dim": 16, "df_dim": 16,
+        "img_size": 16, "use_attention": True, "attn_dim_G": [16],
+        "attn_dim_D": [8], "use_label": False, "num_classes": 1,
+        "update_ratio": 2, "global_batch_size": 4, "batch_size": 4,
+        "num_devices": 1, "lr_g": 1e-4, "lr_d": 4e-4,
+        "decay_rate": 0.99, "loss": "hinge_loss",
+    }
+    from sagan_tpu.ops.attention import record_attention_sites
+
+    # ground truth for the site shapes from the recording hook itself
+    import jax
+
+    from sagan_tpu.models import get_discriminator, get_generator
+    gen, disc = get_generator(cfg), get_discriminator(cfg)
+    with record_attention_sites() as gs:
+        v = jax.eval_shape(gen.init, jax.random.PRNGKey(0))
+        gs.clear()
+        jax.eval_shape(
+            lambda v, z, l: gen(v, z, l, train=True), v,
+            jax.ShapeDtypeStruct((1, 8), "float32"),
+            jax.ShapeDtypeStruct((1,), "int32"))
+    assert gs == [(256, 64, 2, 8)]  # N=16², M=N/4, qk=c/8, v=c/2
+    with record_attention_sites() as ds:
+        v = jax.eval_shape(disc.init, jax.random.PRNGKey(0))
+        ds.clear()
+        jax.eval_shape(
+            lambda v, x, l: disc(v, x, l, train=True), v,
+            jax.ShapeDtypeStruct((1, 16, 16, 3), "float32"),
+            jax.ShapeDtypeStruct((1,), "int32"))
+    assert len(ds) == 1
+
+    def fwd(n, m, d, c):
+        return 2 * n * m * (d + c)
+
+    def bwd(n, m, d, c):
+        return 2 * n * m * (3 * d + 2 * c)
+
+    u, b = 2, 4
+    expect = b * ((u + 1) * fwd(*gs[0]) + bwd(*gs[0])
+                  + (2 * u + 1) * (fwd(*ds[0]) + bwd(*ds[0])))
+    assert bench.analytic_attention_flops(cfg) == expect
+
+
 def test_headline_watchdog_fires_stale_line(capsys, monkeypatch):
     """The r04 wedge class: acquisition succeeds, then the first device
     execution blocks forever.  The watchdog must print the labeled

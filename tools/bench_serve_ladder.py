@@ -1,0 +1,87 @@
+"""Measure what the serving batch ladder buys for small requests.
+
+VERDICT r4 item 6 ("an n=1 /sample at --batch 64 pays the full
+64-image program") was closed in round 5 by compiling a ladder of
+batch shapes and serving requests by largest-fitting chunks
+(sagan_tpu/serve.py).  This tool measures the claim's money number on
+the real TPU: per-request latency of small /sample sizes on a
+--batch 64 church64 server, ladder ON (1, 8, 64) vs ladder OFF
+(the pre-round-5 whole-batch behavior), same process, same weights.
+
+Latency is the full service path the HTTP handler runs — latent draw,
+device program(s), uint8 fetch — via GeneratorService.sample, median
+of ``reps`` (a request experiences typical tunnel RTT, not the
+luckiest; see utils/timing.timeit_fetch_median_ms).
+
+Run:  python tools/bench_serve_ladder.py   (ONE process on the TPU;
+two service startups = up to 4 serve-program compiles, warm via the
+cache).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from sagan_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import numpy as np
+
+
+CFG = {
+    "dataset": "synthetic", "data_path": "unused",
+    "model": "vanilla", "z_dim": 128, "gf_dim": 16, "df_dim": 16,
+    "img_size": 64, "use_attention": True, "attn_dim_G": [32, 64],
+    "attn_dim_D": [8, 4], "use_label": False, "num_classes": 1,
+    "batch_size": 64, "num_devices": 1, "lr_g": 2e-4, "lr_d": 7e-4,
+    "decay_rate": 0.99, "compute_dtype": "bfloat16",
+}
+
+
+def median_latency_ms(svc, n, reps=15):
+    svc.sample(n, seed=0, class_id=-1, truncation=0.0)  # warm
+    ts = []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        svc.sample(n, seed=r, class_id=-1, truncation=0.0)
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(ts))
+
+
+def main():
+    import jax
+
+    from sagan_tpu.models import get_generator
+    from sagan_tpu.serve import GeneratorService
+    from sagan_tpu.utils.config import resolve_config
+    from sagan_tpu.utils.device import wait_for_devices
+
+    dev = wait_for_devices(log_every=30.0)[0]
+    print(f"device: {dev.device_kind}  church64 gf16, --batch 64")
+
+    cfg = resolve_config(dict(CFG), num_local_devices=1)
+    gen = get_generator(cfg)
+    eval_vars = gen.init(jax.random.PRNGKey(0))
+
+    rows = {}
+    for name, ladder in (("ladder(1,8,64)", (1, 8)), ("no ladder", ())):
+        svc = GeneratorService(gen, eval_vars, z_dim=cfg["z_dim"],
+                               num_classes=1, batch=64, ladder=ladder)
+        print(f"-- {name}: compiled sizes {svc.ladder}")
+        for n in (1, 8, 16, 64):
+            ms = median_latency_ms(svc, n)
+            rows[(name, n)] = ms
+            print(f"   n={n:3d}: {ms:8.2f} ms/request  "
+                  f"(computed {svc.images_computed_total} imgs total)",
+                  flush=True)
+
+    print("\nspeedup from the ladder (per-request latency, median):")
+    for n in (1, 8, 16, 64):
+        a, b = rows[("ladder(1,8,64)", n)], rows[("no ladder", n)]
+        print(f"   n={n:3d}: {b:7.2f} -> {a:7.2f} ms  ({b / a:4.1f}x)")
+
+
+if __name__ == "__main__":
+    main()
