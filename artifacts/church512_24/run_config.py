@@ -11,11 +11,21 @@
 # ([B, nk, D, N]; the [B, nk, N, D] layout 64x-padded to 16 GB and
 # OOMed — see artifacts/flash512_smoke).  B=4 fits v5e HBM without
 # rematerialization.  Dataset (hermetic):
-#   python -m sagan_tpu.data.synthetic data/synthetic_512 --num 1024 \
+#   python -m sagan_tpu.data.synthetic data/synthetic_512 --num 2048 \
 #       --img_size 512 --num_classes 4
 # Reference anchor: /root/reference/sagan/models/layers.py:94-116
 # attention semantics at the 512px extension (the reference tops out
 # at 128px configs); recipe = example_configs/church512_attn.py.
+#
+# GENTLE-D recipe (round 5): the first attempt used the church64
+# defaults (lr_d 7e-4, 1024 images) and D memorized the dataset inside
+# ONE epoch — D_loss 0.0000, D(real) +13, in-margin fractions 0.00/0.00
+# from epoch 1 (run_saturating_lr7e4.log; the D-health metrics shipped
+# for exactly this purpose).  Same mechanism the gf64 diagnosis
+# documented (artifacts/imagenet128_gf64_diagnosis): tiny/easy data +
+# hot D ⇒ memorization, G gradient starves.  Mitigation here = its
+# measured gentle recipe (lr_d 1e-4) + 2x the data (2048 images;
+# 1.5 GB HBM cache still fits beside the B=4 512px step).
 output_name = "church512_24"
 config = {
     "num_devices": 1,
@@ -27,7 +37,7 @@ config = {
     "gf_dim": 16,
     "df_dim": 16,
     "lr_g": 2e-4,
-    "lr_d": 7e-4,
+    "lr_d": 1e-4,   # gentle: 7e-4 saturates D on this dataset (header)
     "decay_rate": 0.99,
     "use_attention": True,
     "attn_dim_G": [512],   # N=262144 -> flash path, fused backward

@@ -10,9 +10,13 @@
 # and the fused one-pass backward emits a 256 MB transposed dq partial
 # slab; the B=4 step fits v5e HBM without rematerialization (set
 # "remat": True to trade ~one stage recompute for headroom if you
-# raise the batch).  Measured anchor: 941 ms/step at B=4 on a v5e
-# (artifacts/flash512_smoke); 30-epoch stability run:
-# artifacts/church512_24 (24-epoch hardware stability run, round 5).
+# raise the batch).  Measured anchor: 927 ms/step at B=4 on a v5e
+# (BENCH_DETAIL.json church512_flash; first smoke:
+# artifacts/flash512_smoke).  Stability evidence: the 24-epoch
+# hardware run artifacts/church512_24 — same model/attention shape and
+# training recipe as this config, shorter than this config's 30-epoch
+# default (the epoch count here is a length suggestion, not what the
+# artifact proves).
 #
 # Reference anchor: /root/reference/sagan/models/layers.py:94-116
 # attention semantics + example_configs/church64_attn.py recipe,

@@ -142,11 +142,34 @@ def test_ladder_small_request_skips_full_batch(server):
     assert _computed_counter(server) - before == 1
 
 
-def test_ladder_chunks_cover_request_exactly(server):
-    # n=6 over ladder (1, 4): one 4-chunk + two 1-chunks = 6 computed
+def test_ladder_chunks_cover_request_with_bounded_waste(server):
+    # n=6 over ladder (1, 4): one 4-chunk, then the tail (2) finishes
+    # with ONE 4-rung program (sliced) rather than two 1-programs —
+    # program count beats exactness; waste is bounded < n
     before = _computed_counter(server)
-    _get(server + "/sample?n=6&seed=22&format=raw")
-    assert _computed_counter(server) - before == 6
+    status, _, _ = _get(server + "/sample?n=6&seed=22&format=raw")
+    assert status == 200
+    assert _computed_counter(server) - before == 8
+
+
+def test_ladder_tail_never_degenerates_into_unit_programs():
+    """The n-just-under-a-rung tail must run ONE sliced program of the
+    next rung, not remainder-many smallest-rung programs (seven 1-image
+    dispatches for n=7 on the default ladder)."""
+    cfg = _tiny_cfg()
+    gen = get_generator(cfg)
+    eval_vars = gen.init(jax.random.PRNGKey(0))
+    svc = GeneratorService(gen, eval_vars, z_dim=8, num_classes=4,
+                           batch=8, seed=0, ladder=(1, 4))
+    assert svc.ladder == [1, 4, 8]
+    assert list(svc._chunks(1)) == [1]
+    assert list(svc._chunks(3)) == [4]      # one program, slice 1
+    assert list(svc._chunks(7)) == [8]      # not [4,1,1,1]
+    assert list(svc._chunks(9)) == [8, 1]
+    assert list(svc._chunks(11)) == [8, 4]  # slice 1
+    assert list(svc._chunks(23)) == [8, 8, 8]
+    imgs = svc.sample(7, seed=1, class_id=-1, truncation=0.0)
+    assert imgs.shape[0] == 7 and svc.images_computed_total == 8
 
 
 def test_parallel_small_requests_dont_serialize_full_batches(server):

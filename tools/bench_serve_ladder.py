@@ -20,14 +20,11 @@ cache).
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from sagan_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
-
-import numpy as np
 
 
 CFG = {
@@ -41,13 +38,14 @@ CFG = {
 
 
 def median_latency_ms(svc, n, reps=15):
-    svc.sample(n, seed=0, class_id=-1, truncation=0.0)  # warm
-    ts = []
-    for r in range(reps):
-        t0 = time.perf_counter()
-        svc.sample(n, seed=r, class_id=-1, truncation=0.0)
-        ts.append((time.perf_counter() - t0) * 1e3)
-    return float(np.median(ts))
+    # the ONE timing loop (CLAUDE.md): sample() is internally
+    # fetch-forced (device_get of every output byte), exactly the
+    # serving-metric contract timeit_fetch_median_ms encodes
+    from sagan_tpu.utils.timing import timeit_fetch_median_ms
+
+    return timeit_fetch_median_ms(
+        lambda: svc.sample(n, seed=0, class_id=-1, truncation=0.0),
+        reps=reps)
 
 
 def main():
@@ -70,7 +68,10 @@ def main():
         svc = GeneratorService(gen, eval_vars, z_dim=cfg["z_dim"],
                                num_classes=1, batch=64, ladder=ladder)
         print(f"-- {name}: compiled sizes {svc.ladder}")
-        for n in (1, 8, 16, 64):
+        # 7 and 63 are the tail cases: just under a rung, where the
+        # chunker must run ONE sliced next-rung program, not
+        # remainder-many unit programs
+        for n in (1, 7, 8, 16, 63, 64):
             ms = median_latency_ms(svc, n)
             rows[(name, n)] = ms
             print(f"   n={n:3d}: {ms:8.2f} ms/request  "
@@ -78,7 +79,7 @@ def main():
                   flush=True)
 
     print("\nspeedup from the ladder (per-request latency, median):")
-    for n in (1, 8, 16, 64):
+    for n in (1, 7, 8, 16, 63, 64):
         a, b = rows[("ladder(1,8,64)", n)], rows[("no ladder", n)]
         print(f"   n={n:3d}: {b:7.2f} -> {a:7.2f} ms  ({b / a:4.1f}x)")
 
