@@ -677,9 +677,12 @@ def main():
     dev = acquire_device(float(os.environ.get("BENCH_DEVICE_TIMEOUT_S",
                                               "2700")))
     # watchdog clock starts at grant: acquisition has its own ceiling,
-    # and the deadline must bound MEASUREMENT wedge, not pool wait
-    _install_headline_watchdog(
-        float(os.environ.get("BENCH_HEADLINE_DEADLINE_S", "1500")))
+    # and the deadline must bound MEASUREMENT wedge, not pool wait.
+    # Read the deadline ONCE: the cold-baseline rearm below must use
+    # the same value or a tuned env/default drifts between the two arms
+    headline_deadline_s = float(
+        os.environ.get("BENCH_HEADLINE_DEADLINE_S", "1500"))
+    _install_headline_watchdog(headline_deadline_s)
     # (the secondary budget clock t0 is set right after the headline
     # prints — see below; neither pool-acquisition waits nor the
     # headline's own cold compile may eat the secondary budget)
@@ -708,8 +711,7 @@ def main():
         # this path adds a second cold compile (100-430 s) before the
         # headline: give the watchdog a fresh full deadline so a healthy
         # fully-cold run isn't killed as wedged (ADVICE r4)
-        _rearm_headline_watchdog(
-            float(os.environ.get("BENCH_HEADLINE_DEADLINE_S", "1500")))
+        _rearm_headline_watchdog(headline_deadline_s)
         naive_handles = build(naive)
         _t("church64: baseline built")
         best2, best_naive = measure_interleaved(handles, naive_handles, 3,

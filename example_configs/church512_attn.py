@@ -13,10 +13,14 @@
 # raise the batch).  Measured anchor: 927 ms/step at B=4 on a v5e
 # (BENCH_DETAIL.json church512_flash; first smoke:
 # artifacts/flash512_smoke).  Stability evidence: the 24-epoch
-# hardware run artifacts/church512_24 — same model/attention shape and
-# training recipe as this config, shorter than this config's 30-epoch
-# default (the epoch count here is a length suggestion, not what the
-# artifact proves).
+# hardware run artifacts/church512_24 — same model/attention shape,
+# shorter than this config's 30-epoch default (the epoch count here is
+# a length suggestion, not what the artifact proves).  D-health
+# caution from that run: on a SMALL dataset the church64 lr_d below
+# saturates D within an epoch at 512px (each image is 64x the pixels
+# of a 64px one — far easier to memorize); watch the in_margin
+# fractions and drop lr_d toward 1e-4 if they pin at 0.00 (the
+# artifact's run_config.py documents the measured mitigation).
 #
 # Reference anchor: /root/reference/sagan/models/layers.py:94-116
 # attention semantics + example_configs/church64_attn.py recipe,

@@ -61,9 +61,10 @@ from .utils.cache import enable_compilation_cache
 # buffers (at 64px this allows the full 4096-image cap; at 512px it
 # works out to ~85 images).  The bound is on the REQUESTED image count:
 # the device computes whole ladder chunks, so the host buffer can
-# exceed it — by less than the requested count itself (the one
-# finishing chunk's slice, see _chunks), i.e. under 2× the cap — a
-# bounded slop, not the multi-GB hazard the cap exists to stop.
+# exceed it by the one finishing chunk's slice (< the remainder it
+# covers, or < the rung above the smallest — see _chunks), keeping the
+# buffer under 2× the cap plus one rung — a bounded slop, not the
+# multi-GB hazard the cap exists to stop.
 MAX_SAMPLE_BYTES = 64 << 20
 
 
@@ -87,12 +88,12 @@ class GeneratorService:
 
     ``ladder`` (VERDICT r4 item 6): extra smaller batch shapes compiled
     at startup alongside ``batch``.  A request is served by ladder
-    chunks — greedy largest-fitting, with the tail covered by ONE
-    smallest rung ≥ the remainder when that wastes less than the
-    remainder (see _chunks; n=11 on ladder (1, 8, 64) → 8 + 8 sliced
-    to 11) — so an n=1 request on a ``--batch 64`` server runs the
-    1-image program, not the 64-image one: ~batch/n× lower latency and
-    device work, still zero recompiles.  Each ladder size is one more XLA program compiled at
+    chunks — greedy largest-fitting, with the tail always covered by
+    ONE sliced program rather than smallest-rung repeats (see _chunks;
+    n=11 on ladder (1, 8, 64) → 8 + 8 sliced to 11) — so an n=1
+    request on a ``--batch 64`` server runs the 1-image program, not
+    the 64-image one: ~batch/n× lower latency and device work, still
+    zero recompiles.  Each ladder size is one more XLA program compiled at
     startup (40-300 s cold on a remote TPU, cached after); pass
     ``ladder=()`` to compile only ``batch`` (the pre-round-5
     behavior)."""
@@ -152,30 +153,42 @@ class GeneratorService:
         return jax.device_put(arr, self._bs) if self._bs is not None else arr
 
     def _chunks(self, n: int):
-        """Ladder decomposition of ``n``, minimizing program count with
-        bounded waste: greedy largest-compiled-size-≤-remaining, except
-        the request FINISHES with one smallest rung ≥ the remainder
-        whenever that rung wastes less than the remainder itself
-        (waste < remaining ≤ n, sliced off by the caller).  Without the
-        finish rule a tail just under a rung degenerates into many
-        smallest-rung programs — n=7 on the default (1, 8, 64) ladder
-        would run SEVEN 1-image programs (seven dispatch+fetch round
-        trips under the inference lock) instead of one sliced 8; n=63
-        fourteen programs instead of one sliced 64.
-          n=1 → [1]   n=7 → [8]   n=9 → [8, 1]   n=63 → [64]
-        A single-rung ladder reduces to the pre-ladder behavior
-        (round up to the compiled batch)."""
+        """Ladder decomposition of ``n``: greedy
+        largest-compiled-size-≤-remaining, except the request FINISHES
+        with ONE rung ≥ the remainder when (a) that wastes strictly
+        less than the remainder, or (b) greedy would repeat the
+        smallest rung (each chunk is a full dispatch+fetch round trip
+        under the inference lock — program count beats exactness once
+        the tail is down to smallest-rung repeats).  Without the finish
+        rules a tail just under a rung degenerates into many unit
+        programs: n=7 on the default (1, 8, 64) ladder would run SEVEN
+        1-image programs; n=63 fourteen programs instead of one
+        sliced 64.
+          n=1 → [1]   n=3 → [8]   n=7 → [8]   n=9 → [8, 1]
+          n=11 → [8, 8]   n=63 → [64]   n=130 → [64, 64, 8]
+        The overshoot (sliced off by the caller) is bounded by the one
+        finishing chunk: < the remainder itself under rule (a), < the
+        rung above the smallest under rule (b) — total computed stays
+        under 2n + one rung.  A single-rung ladder reduces to the
+        pre-ladder behavior (round up to the compiled batch)."""
         remaining = n
         while remaining > 0:
             up = min((s for s in self.ladder if s >= remaining),
                      default=None)
-            if up is not None and up <= 2 * remaining:
+            down = max((s for s in self.ladder if s <= remaining),
+                       default=None)
+            if up is not None and (
+                    up < 2 * remaining                     # rule (a)
+                    or down is None
+                    or (down == self.ladder[0]
+                        and remaining > down)):            # rule (b)
                 yield up
                 return
-            size = max((s for s in self.ladder if s <= remaining),
-                       default=self.ladder[0])
-            yield size
-            remaining -= size
+            if down is None:  # no rung fits either way: smallest, sliced
+                yield self.ladder[0]
+                return
+            yield down
+            remaining -= down
 
     def sample(self, n: int, seed: int | None, class_id: int,
                truncation: float) -> np.ndarray:

@@ -410,3 +410,29 @@ def test_model_level_pallas_sn_matches_xla(dtype=jnp.float32):
                                atol=1e-5, rtol=1e-5)
     for a, b in zip(jax.tree.leaves(aux_x), jax.tree.leaves(aux_p)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_every_pallas_call_declares_a_cost_estimate():
+    """FLOP-accounting guard (VERDICT r4 item 1): a Pallas kernel is an
+    opaque custom call to XLA, so any pallas_call WITHOUT a
+    cost_estimate silently vanishes from compiled cost_analysis() and
+    every MFU/TFLOP number derived from it becomes an undercount
+    artifact (the committed church256 row read 0.2% MFU for a
+    bandwidth-floor kernel).  Enforce the invariant structurally so a
+    future kernel cannot regress it."""
+    import ast
+    import inspect
+
+    from sagan_tpu.ops import pallas_attention
+
+    tree = ast.parse(inspect.getsource(pallas_attention))
+    calls = [node for node in ast.walk(tree)
+             if isinstance(node, ast.Call)
+             and isinstance(node.func, ast.Attribute)
+             and node.func.attr == "pallas_call"]
+    assert len(calls) >= 5  # fwd, batched bwd, flash fwd, dq, dkv, fused
+    missing = [c.lineno for c in calls
+               if not any(kw.arg == "cost_estimate" for kw in c.keywords)]
+    assert not missing, (
+        f"pallas_call at ops/pallas_attention.py:{missing} declares no "
+        f"cost_estimate — its FLOPs are invisible to cost_analysis()")

@@ -168,6 +168,18 @@ def test_ladder_tail_never_degenerates_into_unit_programs():
     assert list(svc._chunks(9)) == [8, 1]
     assert list(svc._chunks(11)) == [8, 4]  # slice 1
     assert list(svc._chunks(23)) == [8, 8, 8]
+    # the DEFAULT production ladder's tails (sparse rungs 1, 8, 64):
+    # a remainder of 2-4 must round up to one 8, never repeat the
+    # 1-rung; a remainder over 8 must never round up to 64
+    svc.ladder = [1, 8, 64]
+    assert list(svc._chunks(2)) == [8]
+    assert list(svc._chunks(3)) == [8]
+    assert list(svc._chunks(9)) == [8, 1]
+    assert list(svc._chunks(11)) == [8, 8]  # not [8,1,1,1]
+    assert list(svc._chunks(63)) == [64]
+    assert list(svc._chunks(130)) == [64, 64, 8]
+    assert list(svc._chunks(85)) == [64, 8, 8, 8]  # byte-cap worst case
+    svc.ladder = [1, 4, 8]
     imgs = svc.sample(7, seed=1, class_id=-1, truncation=0.0)
     assert imgs.shape[0] == 7 and svc.images_computed_total == 8
 

@@ -110,6 +110,12 @@ def bench_fwd_blocks():
         tag = " <- shipped" if (bn, bm) == (bn0, bm0) else ""
         print(f"  fwd BN={bn} BM={bm}: {t * 1e3:8.2f} ms{tag}",
               flush=True)
+    if not results:
+        # every variant failed: report and keep the study going with
+        # the shipped picks so the backward/step sections still run
+        # (same guard as the 256px study's sweep)
+        print("  fwd blocks: ALL variants failed; using shipped picks")
+        return (bn0, bm0), results
     best = min(results, key=results.get)
     print(f"  best: BN={best[0]} BM={best[1]} {results[best] * 1e3:.2f} ms "
           f"(shipped {results.get((bn0, bm0), float('nan')) * 1e3:.2f} ms)")
