@@ -16,6 +16,22 @@ luckiest; see utils/timing.timeit_fetch_median_ms).
 Run:  python tools/bench_serve_ladder.py   (ONE process on the TPU;
 two service startups = up to 4 serve-program compiles, warm via the
 cache).
+
+MEASURED (v5e, round 5 — /tmp/r5/serve_ladder.log; median of 15):
+
+    n     no ladder -> ladder(1,8,64)
+    1      137.9    ->   36.4 ms   (3.8x)
+    7      209.2    ->   78.6 ms   (2.7x)   [one sliced 8-program]
+    8      142.5    ->   48.3 ms   (3.0x)
+    16     225.8    ->  143.7 ms   (1.6x)   [8+8]
+    63     196.5    ->  142.7 ms   (1.4x)   [one sliced 64-program]
+    64     153.7    ->  178.8 ms   (0.9x)   [identical program; noise]
+
+  The gain is bounded well under batch/n because a tunneled request's
+  latency floor is the dispatch+fetch round trip, not chip compute —
+  but 3.8x on n=1 and >2.5x on every sub-rung size is exactly the
+  small-request win the ladder exists for, with full-batch requests
+  unchanged.
 """
 
 import os
